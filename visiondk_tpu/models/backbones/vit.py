@@ -1,0 +1,129 @@
+"""Vision Transformer (ViT-S/B/L/H) — the flagship throughput model.
+
+Covers the transformer rows of the reference's recommended backbone list
+(configs/classification/pet.yaml:4-12: vit_base_patch16_224,
+vit_base_patch8_224, vit_large_patch16_224, vit_huge_patch14, ...).
+
+TPU notes: all shapes static; tokens = (224/16)² + 1 = 197; attention and MLP
+run in the configured compute dtype (bf16 default in training) with fp32
+softmax accumulation (see layers.Attention). The final features/logits are
+fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from visiondk_tpu.models.backbones import BACKBONES
+from visiondk_tpu.models.layers import Attention, DropPath, Mlp, PatchEmbed
+
+Array = Any
+
+
+class ViTBlock(nn.Module):
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = Attention(
+            self.num_heads,
+            attn_drop=self.attn_dropout,
+            proj_drop=self.dropout,
+            dtype=self.dtype,
+            name="attn",
+        )(y, deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic=deterministic)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Mlp(
+            int(x.shape[-1] * self.mlp_ratio),
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic=deterministic)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_classes: int = 1000
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    stochastic_depth_prob: float = 0.0
+    pool: str = "cls"  # "cls" | "mean"
+    unpooled: bool = False  # num_classes=0: return all tokens [B, N+1, C]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        det = not train
+        x = x.astype(self.dtype)
+        tokens = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype, name="patch_embed")(x)
+        B, N, C = tokens.shape
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, C), jnp.float32)
+        cls = jnp.broadcast_to(cls.astype(self.dtype), (B, 1, C))
+        tokens = jnp.concatenate([cls, tokens], axis=1)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, N + 1, C), jnp.float32
+        )
+        tokens = tokens + pos.astype(self.dtype)
+        tokens = nn.Dropout(self.dropout)(tokens, deterministic=det)
+
+        for i in range(self.depth):
+            dp = self.stochastic_depth_prob * i / max(self.depth - 1, 1)
+            tokens = ViTBlock(
+                self.num_heads,
+                self.mlp_ratio,
+                drop_path=dp,
+                dropout=self.dropout,
+                attn_dropout=self.attention_dropout,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(tokens, deterministic=det)
+
+        tokens = nn.LayerNorm(dtype=self.dtype, name="norm")(tokens)
+        if self.num_classes == 0 and self.unpooled:
+            return tokens.astype(jnp.float32)  # [B, N+1, C] token map
+        if self.pool == "mean":
+            feats = jnp.mean(tokens[:, 1:], axis=1)
+        else:
+            feats = tokens[:, 0]
+        feats = feats.astype(jnp.float32)
+        if self.num_classes == 0:
+            return feats
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(feats)
+
+
+def _vit(patch_size, embed_dim, depth, num_heads):
+    def factory(num_classes: int = 1000, dtype=jnp.float32, **kwargs):
+        return VisionTransformer(
+            patch_size=patch_size,
+            embed_dim=embed_dim,
+            depth=depth,
+            num_heads=num_heads,
+            num_classes=num_classes,
+            dtype=dtype,
+            **kwargs,
+        )
+
+    return factory
+
+
+BACKBONES.register(_vit(16, 384, 12, 6), name="vit_small_patch16_224")
+BACKBONES.register(_vit(16, 768, 12, 12), name="vit_base_patch16_224")
+BACKBONES.register(_vit(8, 768, 12, 12), name="vit_base_patch8_224")
+BACKBONES.register(_vit(16, 1024, 24, 16), name="vit_large_patch16_224")
+BACKBONES.register(_vit(14, 1280, 32, 16), name="vit_huge_patch14_224")

@@ -1,0 +1,157 @@
+"""Common building blocks for the JAX model zoo.
+
+NHWC layout throughout (TPU-native: XLA tiles the channel dim onto the
+128-lane registers). Params live in fp32; compute dtype is configurable
+(bf16 by default in training) so matmuls/convs hit the MXU at full rate.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+Dtype = Any
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drop a residual branch per sample (timm semantics:
+    survivors scaled by 1/keep_prob)."""
+
+    rate: float = 0.0
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: Optional[bool] = None) -> Array:
+        det = nn.merge_param("deterministic", self.deterministic, deterministic)
+        if det or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: fc → act → drop → fc → drop."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    act: Callable = nn.gelu
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention. Plain XLA path — at vision sequence lengths
+    (≤ ~1k tokens) a fused softmax(QKᵀ)V is already MXU-bound and XLA fuses the
+    softmax into the matmul epilogue; a Pallas flash kernel is only warranted
+    for much longer sequences."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each [B, N, H, D]
+        q = jnp.moveaxis(q, 2, 1)  # [B, H, N, D]
+        k = jnp.moveaxis(k, 2, 1)
+        v = jnp.moveaxis(v, 2, 1)
+        scale = head_dim**-0.5
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class PatchEmbed(nn.Module):
+    """Image → patch tokens via a strided conv."""
+
+    patch_size: int
+    embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        B, H, W, C = x.shape
+        return x.reshape(B, H * W, C)
+
+
+class SqueezeExcite(nn.Module):
+    """SE channel attention (for seresnet/resnest/efficientnet variants)."""
+
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2))  # [B, C]
+        s = nn.Dense(max(c // self.reduction, 8), dtype=self.dtype, name="fc1")(s)
+        s = nn.relu(s)
+        s = nn.Dense(c, dtype=self.dtype, name="fc2")(s)
+        s = jax.nn.sigmoid(s.astype(jnp.float32)).astype(x.dtype)
+        return x * s[:, None, None, :]
+
+
+class AttentionPooling(nn.Module):
+    """Learned-query attention pooling over spatial tokens (reference:
+    built/attention_based_pooler.py, paper 2112.13692). Aggregates [B, N, C]
+    → [B, C] with a single learned CLS query."""
+
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: Array) -> Array:
+        B, N, C = tokens.shape
+        probe = self.param("probe", nn.initializers.normal(0.02), (1, 1, C), jnp.float32)
+        probe = jnp.broadcast_to(probe.astype(self.dtype), (B, 1, C))
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(tokens)
+        head_dim = C // self.num_heads
+        q = nn.Dense(C, dtype=self.dtype, name="q")(probe).reshape(B, 1, self.num_heads, head_dim)
+        k = nn.Dense(C, dtype=self.dtype, name="k")(x).reshape(B, N, self.num_heads, head_dim)
+        v = nn.Dense(C, dtype=self.dtype, name="v")(x).reshape(B, N, self.num_heads, head_dim)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * head_dim**-0.5, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, 1, C)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        return out[:, 0]
+
+
+def global_avg_pool(x: Array) -> Array:
+    """NHWC feature map → [B, C]."""
+    return jnp.mean(x, axis=(1, 2))

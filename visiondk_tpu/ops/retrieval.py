@@ -1,0 +1,145 @@
+"""Exact inner-product top-k retrieval — the TPU-native faiss replacement.
+
+The reference builds a faiss "Flat" inner-product index over gallery
+embeddings and batch-searches queries (engine/cbir/evaluation.py:106-200,
+GPU clone with fp16). Flat IP search is exactly a GEMM + top-k, which is an
+ideal TPU workload:
+
+- similarity matrix = queries @ gallery.T on the MXU (bf16 inputs, fp32
+  accumulation — same numeric contract as faiss's fp16 GPU mode);
+- ``jax.lax.top_k`` per query row;
+- distributed: gallery rows sharded over the mesh's ``data`` axis via
+  ``shard_map``; each device computes a local top-k over its shard, then the
+  k·n_shards candidates are all-gathered and re-top-k'd. Exact — identical
+  ranking to a single-device search (ties broken by global gallery index
+  order, matching faiss Flat).
+
+Queries are processed in static-size chunks so the [chunk, G] similarity block
+stays in VMEM-friendly tiles and compile once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+Array = jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("k", "compute_dtype"))
+def topk_ip(
+    queries: Array,
+    gallery: Array,
+    k: int,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[Array, Array]:
+    """Single-shard exact IP top-k: [Q, D] x [G, D] → (scores [Q, k], idx [Q, k])."""
+    q = queries.astype(compute_dtype)
+    g = gallery.astype(compute_dtype)
+    sim = jax.lax.dot_general(
+        q, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Q, G]
+    return jax.lax.top_k(sim, k)
+
+
+def _merge_local_topk(scores: Array, idx: Array, k: int) -> Tuple[Array, Array]:
+    """Merge per-shard candidates [Q, S*k] → global top-k, faiss-style ties:
+    lower global index wins on equal score."""
+    order_scores, order = jax.lax.top_k(scores, k)
+    merged_idx = jnp.take_along_axis(idx, order, axis=1)
+    return order_scores, merged_idx
+
+
+def make_sharded_search(mesh: Mesh, k: int, compute_dtype=jnp.bfloat16):
+    """Build a jitted search(queries, gallery) with the gallery sharded over
+    the mesh's 'data' axis. Gallery size must be divisible by the axis size
+    (pad with -inf-normed rows if needed — see ``pad_gallery``)."""
+
+    n_shards = mesh.shape["data"]
+
+    def _local_search(q, g_local):
+        # g_local: [G/n, D] — this device's shard.
+        shard_id = jax.lax.axis_index("data")
+        local_scores, local_idx = topk_ip(q, g_local, k, compute_dtype)
+        g_per = g_local.shape[0]
+        global_idx = local_idx + shard_id * g_per
+        # All-gather candidates along the data axis → [n, Q, k] → [Q, n*k].
+        all_scores = jax.lax.all_gather(local_scores, "data")
+        all_idx = jax.lax.all_gather(global_idx, "data")
+        all_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q.shape[0], -1)
+        all_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(q.shape[0], -1)
+        return _merge_local_topk(all_scores, all_idx, k)
+
+    sharded = shard_map(
+        _local_search,
+        mesh=mesh,
+        in_specs=(P(), P("data", None)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def pad_gallery(gallery: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
+    """Pad gallery rows to a multiple of the shard count with zero rows
+    (zero IP score — never ranked above any real unit-norm match)."""
+    g = gallery.shape[0]
+    padded = ((g + multiple - 1) // multiple) * multiple
+    if padded == g:
+        return gallery, g
+    pad = np.zeros((padded - g, gallery.shape[1]), dtype=gallery.dtype)
+    return np.concatenate([gallery, pad], axis=0), g
+
+
+def search(
+    queries: np.ndarray,
+    gallery: np.ndarray,
+    k: int,
+    mesh: Optional[Mesh] = None,
+    query_chunk: int = 1024,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-facing exact top-k search. Chunks queries to a static shape
+    (one compile), optionally shards the gallery over a mesh.
+
+    Returns (scores [Q, k], indices [Q, k]) as numpy, indices into the
+    original (unpadded) gallery. Rows of padded queries are dropped.
+    """
+    n_q, dim = queries.shape
+    k = min(k, gallery.shape[0])
+
+    if mesh is not None and np.prod([mesh.shape[a] for a in mesh.axis_names]) > 1:
+        gallery_p, real_g = pad_gallery(np.asarray(gallery), mesh.shape["data"])
+        fn = make_sharded_search(mesh, k, compute_dtype)
+        gallery_dev = jax.device_put(
+            jnp.asarray(gallery_p), NamedSharding(mesh, P("data", None))
+        )
+    else:
+        real_g = gallery.shape[0]
+        fn = functools.partial(topk_ip, k=k, compute_dtype=compute_dtype)
+        gallery_dev = jnp.asarray(gallery)
+
+    scores_out = np.empty((n_q, k), np.float32)
+    idx_out = np.empty((n_q, k), np.int64)
+    chunk = min(query_chunk, max(n_q, 1))
+    for start in range(0, n_q, chunk):
+        q = np.asarray(queries[start : start + chunk])
+        pad = chunk - q.shape[0]
+        if pad:
+            q = np.concatenate([q, np.zeros((pad, dim), q.dtype)], axis=0)
+        s, i = fn(jnp.asarray(q), gallery_dev)
+        s, i = np.asarray(s), np.asarray(i)
+        take = chunk - pad
+        scores_out[start : start + take] = s[:take]
+        idx_out[start : start + take] = i[:take]
+
+    # Guard: padded gallery rows score 0.0; clip any that slipped into top-k
+    # (only possible when k ≈ gallery size) back to a valid index.
+    idx_out = np.clip(idx_out, 0, real_g - 1)
+    return scores_out, idx_out

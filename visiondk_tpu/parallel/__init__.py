@@ -1,0 +1,17 @@
+from visiondk_tpu.parallel.mesh import (
+    MeshContext,
+    build_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    class_sharded,
+)
+
+__all__ = [
+    "MeshContext",
+    "build_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "class_sharded",
+]

@@ -1,0 +1,104 @@
+"""Device mesh + sharding: the TPU-native replacement for the reference's
+entire distributed stack.
+
+The reference distributes with torchrun + NCCL ``init_process_group``
+(main.py:39-40), ``DistributedDataParallel`` (engine/vision_engine.py:312-313),
+``DistributedSampler`` (:238) and SyncBN (main.py:57-60). Here all of that is a
+single ``jax.sharding.Mesh`` with two logical axes:
+
+- ``data``  — batch dimension sharding (DP). Gradient averaging is implicit:
+  ``jit`` over batch-sharded inputs inserts the ``psum`` XLA collective over
+  ICI where DDP would run an NCCL all-reduce.
+- ``model`` — class-dimension sharding for the margin-softmax heads
+  (partial-FC style). The reference's ArcFace weight is [feat_dim, num_class]
+  with num_class up to 58,671 (configs/faceX/face.yaml:34) — the one component
+  where model parallelism pays off.
+
+Rank-0-only host work (logging, checkpoints) maps to
+``jax.process_index() == 0``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshContext:
+    """A mesh plus the canonical shardings used by the train/eval steps."""
+
+    mesh: Mesh
+
+    @property
+    def n_data(self) -> int:
+        return self.mesh.shape["data"]
+
+    @property
+    def n_model(self) -> int:
+        return self.mesh.shape["model"]
+
+    @property
+    def batch(self) -> NamedSharding:
+        """Batch dim sharded over data axis (images: [B, H, W, C], labels: [B, ...])."""
+        return NamedSharding(self.mesh, P("data"))
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    @property
+    def class_dim(self) -> NamedSharding:
+        """Margin-head weight [feat_dim, num_class]: shard classes over model axis."""
+        return NamedSharding(self.mesh, P(None, "model"))
+
+    def is_primary(self) -> bool:
+        return jax.process_index() == 0
+
+
+def build_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> MeshContext:
+    """Build a ('data', 'model') mesh over the available devices.
+
+    Defaults to pure DP: data = n_devices, model = 1. For sharded margin heads
+    pass model > 1 (n_devices must be divisible).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"data({data}) * model({model}) != devices({n})"
+    dev_array = np.asarray(devices).reshape(data, model)
+    mesh = Mesh(dev_array, axis_names=("data", "model"))
+    return MeshContext(mesh=mesh)
+
+
+def batch_sharding(ctx: MeshContext) -> NamedSharding:
+    return ctx.batch
+
+
+def replicated(ctx: MeshContext) -> NamedSharding:
+    return ctx.replicated
+
+
+def class_sharded(ctx: MeshContext) -> NamedSharding:
+    return ctx.class_dim
+
+
+def shard_batch(ctx: MeshContext, batch):
+    """Device-put a host batch (pytree of np arrays, leading dim = batch)
+    with the batch dim sharded over the data axis."""
+    return jax.device_put(batch, ctx.batch)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
