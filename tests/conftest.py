@@ -1,18 +1,24 @@
 """Test env: force an 8-device virtual CPU mesh (no TPU needed).
 
-Must run before jax is imported anywhere — pytest imports conftest first.
+The container's sitecustomize imports jax at interpreter startup (with
+JAX_PLATFORMS=axon pointing at a single tunneled TPU), so env-var overrides
+alone are too late — ``jax.config.update`` switches the platform before the
+backend is initialized, and XLA_FLAGS is still read at CPU-client creation.
 """
 
 import os
 
-# Force override: the environment pre-sets JAX_PLATFORMS to a TPU tunnel
-# platform; tests must run on local virtual CPU devices.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # effective if jax not yet imported
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # effective even if already imported
+assert len(jax.devices()) == 8, jax.devices()
 
 import pytest  # noqa: E402
 

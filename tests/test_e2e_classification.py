@@ -1,0 +1,120 @@
+"""End-to-end slice: config → CenterProcessor → train → eval → checkpoint on a
+tiny synthetic folder dataset over the virtual 8-device CPU mesh. The model
+must overfit (top-1 → 1.0) — SURVEY §4's integration-test contract."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _make_dataset(root, n_per_class=16, size=32):
+    rng = np.random.default_rng(0)
+    colors = {"reddish": (200, 40, 40), "blueish": (40, 40, 200)}
+    for split, n in (("train", n_per_class), ("val", 8)):
+        for cls, base in colors.items():
+            d = root / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = np.clip(
+                    rng.normal(base, 25, size=(size, size, 3)), 0, 255
+                ).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+    return root
+
+
+def _cfgs(root, size=32):
+    aug_tail = [
+        {"resize_and_padding": {"size": size, "training": False}},
+        {"to_tensor": "no_params"},
+        {"normalize": {"mean": [0.485, 0.456, 0.406], "std": [0.229, 0.224, 0.225]}},
+    ]
+    return {
+        "model": {
+            "task": "classification",
+            "name": "resnet18",
+            "image_size": size,
+            "num_classes": 2,
+            "pretrained": False,
+            "kwargs": {},
+            "load_from": None,
+        },
+        "data": {
+            "root": str(root),
+            "nw": 2,
+            "train": {
+                "bs": 16,
+                "augment": [{"random_horizonflip": {"p": 0.5}}] + aug_tail,
+                "aug_epoch": 999,
+                "class_aug": None,
+                "base_aug": None,
+            },
+            "val": {"bs": 16, "augment": aug_tail},
+        },
+        "hyp": {
+            "epochs": 4,
+            "lr0": 0.05,
+            "lrf_ratio": None,
+            "momentum": 0.9,
+            "weight_decay": 0.0005,
+            "warmup_momentum": 0.8,
+            "warm_ep": 1,
+            "label_smooth": 0.0,
+            "loss": {"ce": True, "bce": [False, 0.5]},
+            "strategy": {
+                "prog_learn": False,
+                "mixup": {"ratio": 0.0, "duration": 0},
+                "focal": [False, 0.25, 1.5],
+                "ohem": [False, 8, 0.7, 255],
+            },
+            "optimizer": ["sgd", False],
+            "scheduler": "cosine_with_warm",
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    return _make_dataset(tmp_path_factory.mktemp("toy"))
+
+
+def test_config_check_passes(dataset_root):
+    from visiondk_tpu.config import check
+
+    check("classification", _cfgs(dataset_root))
+
+
+def test_train_overfits_and_checkpoints(dataset_root, tmp_path, mesh8):
+    import jax.numpy as jnp
+    from visiondk_tpu.engine import CenterProcessor
+
+    cfgs = _cfgs(dataset_root)
+    cp = CenterProcessor(
+        cfgs, project=str(tmp_path / "run"), train=True, mesh=mesh8,
+        compute_dtype=jnp.float32,
+    )
+    result = cp.run_classifier()
+    assert result["top1"] >= 0.9, result
+    assert (tmp_path / "run" / "last").exists()
+    assert (tmp_path / "run" / "best").exists()
+    assert (tmp_path / "run" / "class_indices.json").exists()
+    assert (tmp_path / "run" / "config.yaml").exists()
+
+
+def test_resume_continues(dataset_root, tmp_path, mesh8):
+    import jax.numpy as jnp
+    from visiondk_tpu.engine import CenterProcessor
+
+    cfgs = _cfgs(dataset_root)
+    cfgs["hyp"]["epochs"] = 2
+    cp = CenterProcessor(
+        cfgs, project=str(tmp_path / "r1"), train=True, mesh=mesh8,
+        compute_dtype=jnp.float32,
+    )
+    cp.run_classifier()
+    cfgs["hyp"]["epochs"] = 3
+    cp2 = CenterProcessor(
+        cfgs, project=str(tmp_path / "r1"), train=True, mesh=mesh8,
+        compute_dtype=jnp.float32,
+    )
+    out = cp2.run_classifier(resume="last")
+    assert "top1" in out

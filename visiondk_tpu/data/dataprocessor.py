@@ -1,0 +1,115 @@
+"""SmartDataProcessor parity (reference dataset/dataprocessor.py:8-46):
+creates train/val datasets with class-wise augmenters, hot-swaps augment
+pipelines mid-training (warmup val-augs, aug weakening, progressive resize),
+and builds loaders.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+from visiondk_tpu.data.class_augmenter import ClassWiseAugmenter
+from visiondk_tpu.data.datasets import ImageDatasets, smooth_labels
+from visiondk_tpu.data.loader import DataLoader
+from visiondk_tpu.data.transforms import (
+    Compose,
+    create_aug_transforms,
+    extract_normalization,
+    set_pipeline_size,
+)
+
+
+class SmartDataProcessor:
+    def __init__(
+        self,
+        data_cfg: Dict[str, Any],
+        project: Optional[str] = None,
+        rank_is_primary: bool = True,
+        training: bool = True,
+    ):
+        self.data_cfg = data_cfg
+        self.root = data_cfg["root"]
+        self.project = project
+
+        train_aug = create_aug_transforms(data_cfg["train"]["augment"])
+        val_aug = create_aug_transforms(data_cfg["val"]["augment"])
+        self.train_pipeline_cfg = data_cfg["train"]["augment"]
+        self.val_pipeline_cfg = data_cfg["val"]["augment"]
+        self.normalization = extract_normalization(train_aug)
+
+        class_aug_cfg = data_cfg["train"].get("class_aug") or None
+        base_aug_cfg = data_cfg["train"].get("base_aug") or data_cfg["train"].get("common_aug")
+
+        self.train_dataset = ImageDatasets(
+            self.root, "train",
+            transforms=ClassWiseAugmenter(train_aug, class_aug_cfg, base_aug_cfg),
+            project=project, rank_is_primary=rank_is_primary, training=training,
+        ) if training else None
+        self.val_dataset = ImageDatasets(
+            self.root, "val",
+            transforms=ClassWiseAugmenter(val_aug, None, None),
+            project=project, rank_is_primary=rank_is_primary, training=training,
+        )
+
+    # ------------------------------------------------------ augment control
+
+    def set_augment(self, mode: str, transforms: Optional[Compose]) -> None:
+        """Hot-swap the pipeline; ``None`` → use val augments (the reference's
+        epoch-0 warmup behaviour, vision_engine.py:346-348)."""
+        ds = self.train_dataset if mode == "train" else self.val_dataset
+        if transforms is None:
+            transforms = create_aug_transforms(self.val_pipeline_cfg)
+        ds.transforms = ClassWiseAugmenter(
+            transforms,
+            self.data_cfg["train"].get("class_aug") if mode == "train" else None,
+            None,
+        )
+
+    def restore_train_augment(self) -> None:
+        self.set_augment("train", create_aug_transforms(self.train_pipeline_cfg))
+
+    def auto_aug_weaken(self, epoch: int, milestone: int) -> None:
+        """At the milestone epoch switch train augments to the (weaker) val
+        pipeline (reference dataprocessor.py:30-39)."""
+        if epoch == milestone:
+            self.set_augment("train", None)
+
+    def set_train_size(self, size: int) -> None:
+        """Progressive resolution: rewrite spatial sizes in the live pipeline."""
+        aug = self.train_dataset.transforms.base_transforms
+        set_pipeline_size(aug, size)
+
+    def set_label_smoothing(self, num_classes: int, label_smooth: float) -> None:
+        """BCE path: dataset emits smoothed multi-hot targets
+        (reference vision_engine.py:121-132)."""
+        self.train_dataset.label_transforms = lambda l: smooth_labels(
+            l, num_classes, label_smooth
+        )
+        self.val_dataset.label_transforms = lambda l: smooth_labels(l, num_classes, 0.0)
+
+    # ------------------------------------------------------------- loaders
+
+    def dataloader(
+        self,
+        mode: str,
+        batch_size: int,
+        num_workers: Optional[int] = None,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+    ) -> DataLoader:
+        if num_workers is None:
+            num_workers = min(self.data_cfg.get("nw") or 8, (os.cpu_count() or 8))
+            num_workers = max(num_workers, 1)
+        train = mode == "train"
+        return DataLoader(
+            self.train_dataset if train else self.val_dataset,
+            batch_size=batch_size,
+            shuffle=train,
+            drop_last=train,
+            num_workers=num_workers,
+            seed=seed,
+            process_index=process_index,
+            process_count=process_count,
+        )

@@ -1,0 +1,142 @@
+"""Host data loader: multi-threaded decode/augment workers + prefetch.
+
+Replaces torch ``DataLoader`` + ``DistributedSampler``
+(engine/vision_engine.py:236-258): per-process shard selection for multi-host
+TPU, epoch-seeded shuffling (``set_epoch`` parity, train.py:96-97), drop_last
+for static train shapes, and final-batch padding (with valid count) for eval.
+
+Threads, not processes: the heavy lifting (PIL decode + numpy) releases the
+GIL, and batches are plain numpy arrays handed straight to
+``jax.device_put`` — no pickling, no shared-memory dance. A C-level decode
+pool can slot in behind the same interface later.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def _stack_labels(labels: List[Any]) -> np.ndarray:
+    first = labels[0]
+    if isinstance(first, (int, np.integer)):
+        return np.asarray(labels, dtype=np.int32)
+    return np.stack([np.asarray(l, dtype=np.float32) for l in labels])
+
+
+class DataLoader:
+    """Iterable over dict batches {'image': [B,H,W,3] uint8, 'label': ...}.
+
+    - ``shuffle``: epoch-seeded permutation (call ``set_epoch``).
+    - ``drop_last``: True for train (static batch).
+    - eval: last partial batch is padded by repeating row 0; ``'valid'`` holds
+      the real count.
+    - ``process_index/process_count``: multi-host sharding of the index space
+      (DistributedSampler parity).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+        collate: Optional[Callable] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.epoch = 0
+        self.process_index = process_index
+        self.process_count = process_count
+        self.collate = collate or self._default_collate
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    @staticmethod
+    def _default_collate(samples: List[Any]) -> Dict[str, np.ndarray]:
+        images, labels = zip(*samples)
+        return {
+            "image": np.stack([np.asarray(im) for im in images]),
+            "label": _stack_labels(list(labels)),
+        }
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        # shard across hosts, padding so every host sees the same #batches
+        if self.process_count > 1:
+            per = -(-n // self.process_count)
+            padded = np.resize(idx, per * self.process_count)
+            idx = padded[self.process_index :: self.process_count]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._indices()
+        n_batches = len(self)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                pending = []
+                for b in range(n_batches):
+                    batch_idx = indices[b * self.batch_size : (b + 1) * self.batch_size]
+                    fut = pool.submit(self._make_batch, batch_idx)
+                    pending.append(fut)
+                    # bounded pipeline: emit in order
+                    while len(pending) >= self.prefetch or (
+                        b == n_batches - 1 and pending
+                    ):
+                        if stop.is_set():
+                            return
+                        out_q.put(pending.pop(0).result())
+            out_q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+    def _make_batch(self, batch_idx: np.ndarray) -> Dict[str, np.ndarray]:
+        samples = [self.dataset[int(i)] for i in batch_idx]
+        batch = self.collate(samples)
+        valid = len(samples)
+        if valid < self.batch_size:  # pad final eval batch to static shape
+            pad = self.batch_size - valid
+            batch = {
+                k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)], axis=0)
+                for k, v in batch.items()
+            }
+        batch["valid"] = np.asarray(valid, np.int32)
+        return batch

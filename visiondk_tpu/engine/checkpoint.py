@@ -1,0 +1,96 @@
+"""Checkpoint / resume.
+
+Parity with the reference's two formats (SURVEY §5.4):
+- classification ``last.pt``/``best.pt`` every epoch with
+  {epoch, best_fitness, model, ema, updates, optimizer, scheduler, scaler}
+  (engine/vision_engine.py:386-403);
+- embedding ``Epoch_N`` backbone-only + fitness (train.py:264-278);
+- ``load_from`` non-strict fine-tune load logging missing/unexpected keys
+  (vision_engine.py:300-310).
+
+TPU-native: Orbax PyTree checkpointing of the whole TrainState + host
+metadata; saves are async-capable and restore reconstructs exact pytree
+structure from a template state.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from visiondk_tpu.engine.state import TrainState
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    def __init__(self, directory):
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    # ------------------------------------------------------------ full state
+
+    def save(
+        self,
+        name: str,
+        state: TrainState,
+        epoch: int,
+        best_fitness: float,
+        extra: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        path = self.directory / name
+        self._ckptr.save(path, _to_host(state), force=True)
+        meta = {"epoch": epoch, "best_fitness": float(best_fitness)}
+        if extra:
+            meta.update(extra)
+        with open(path / "meta.json", "w") as f:
+            json.dump(meta, f)
+
+    def restore(self, name: str, template: TrainState) -> Tuple[TrainState, Dict[str, Any]]:
+        path = self.directory / name
+        restored = self._ckptr.restore(path, item=_to_host(template))
+        with open(path / "meta.json") as f:
+            meta = json.load(f)
+        state = jax.tree_util.tree_map(lambda t, r: jax.numpy.asarray(r), template, restored)
+        return state, meta
+
+    def exists(self, name: str) -> bool:
+        return (self.directory / name).exists()
+
+    # ------------------------------------------------------------ fine-tune
+
+    @staticmethod
+    def load_from(
+        params: Any, pretrained_params: Any, logger=None, prefix: str = ""
+    ) -> Any:
+        """Non-strict merge: copy matching-path/shape leaves from pretrained
+        into params; log missing/unexpected (vision_engine.py:300-310)."""
+        flat_p = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+        flat_l = dict(jax.tree_util.tree_flatten_with_path(pretrained_params)[0])
+        loaded, missing, mismatched = [], [], []
+        new_flat = {}
+        for path, leaf in flat_p.items():
+            if path in flat_l and flat_l[path].shape == leaf.shape:
+                new_flat[path] = jax.numpy.asarray(flat_l[path], leaf.dtype)
+                loaded.append(path)
+            else:
+                new_flat[path] = leaf
+                (mismatched if path in flat_l else missing).append(path)
+        unexpected = [p for p in flat_l if p not in flat_p]
+        if logger is not None:
+            logger.both(
+                f"{prefix}load_from: loaded {len(loaded)} tensors, "
+                f"missing {len(missing)}, shape-mismatch {len(mismatched)}, "
+                f"unexpected {len(unexpected)}"
+            )
+        treedef = jax.tree_util.tree_structure(params)
+        paths = [p for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+        return jax.tree_util.tree_unflatten(treedef, [new_flat[p] for p in paths])

@@ -1,0 +1,226 @@
+"""Jitted train / eval steps.
+
+The reference's per-batch hot loop (engine/procedure/train.py:106-147 and
+:202-215: autocast forward → loss → scale/backward → clip(10) → step → EMA)
+becomes ONE compiled XLA program per variant:
+
+    uint8 batch → device normalize (fused) → [mixup] → fwd+bwd (bf16 MXU)
+    → clip → optimizer → EMA tree update
+
+Gradient averaging across the mesh's ``data`` axis is inserted by jit from
+the batch sharding (replacing DDP's NCCL all-reduce); BN statistics reduce
+over the global batch (SyncBN semantics, reference main.py:57-60).
+
+Strategy knobs and their TPU-native forms:
+- mixup     — static variant flag; per-batch Beta lambda is a traced scalar
+              (reference train.py:108-111, 24-35).
+- OHEM      — extra no-grad forward → per-sample mask → masked loss; the
+              shape-static equivalent of dropping rows
+              (reference structure/sampler.py:11-31, train.py:114-117).
+- SAM       — two grad passes inside one step with BN stats frozen in the
+              second (reference engine/optimizer.py:44-67, train.py:149-175).
+- EMA       — ramped-decay tree update on device (reference models/ema.py).
+
+Static variants (mixup on/off × sam on/off × ohem on/off) each compile once
+and are cached for the whole run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from visiondk_tpu.engine.optim import SAMConfig, sam_perturb
+from visiondk_tpu.engine.state import TrainState
+from visiondk_tpu.models.ema import update_ema
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class OHEMConfig:
+    min_kept: int = 8
+    thresh: float = 0.7
+    ignore_index: int = 255
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static configuration of a train-step variant."""
+
+    task: str = "classification"        # "classification" | "embedding"
+    mixup: bool = False
+    sam: Optional[SAMConfig] = None
+    ohem: Optional[OHEMConfig] = None
+    ema_decay: float = 0.9999
+    ema_tau: float = 2000.0
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+def device_preprocess(images: Array, mean, std) -> Array:
+    """uint8 NHWC → normalized f32. Runs on device, fused into the step
+    (host workers only decode/resize/augment-geometry; per the north star the
+    arithmetic-heavy normalize rides the TPU's VPU)."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (images - mean) / std
+
+
+def ohem_mask(logits: Array, labels: Array, cfg: OHEMConfig) -> Array:
+    """Keep samples whose true-class prob < max(k-th smallest, thresh)
+    (reference structure/sampler.py:11-31), as a f32 weight vector."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+    b = labels.shape[0]
+    tp = jnp.take_along_axis(probs, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    valid_ignore = labels != cfg.ignore_index
+    sorted_tp = jnp.sort(jnp.where(valid_ignore, tp, jnp.inf))
+    kth = sorted_tp[jnp.minimum(cfg.min_kept, b - 1)]
+    threshold = jnp.maximum(kth, cfg.thresh)
+    return (valid_ignore & (tp < threshold)).astype(jnp.float32)
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    lossfn: Callable,
+    cfg: StepConfig,
+    base_rng: Array,
+    donate: bool = True,
+) -> Callable:
+    """Build step(state, batch, lam) -> (state, metrics).
+
+    ``batch`` = {'image': uint8/f32 [B,H,W,3], 'label': int [B] or f32 [B,C]}.
+    ``lam``   = mixup lambda (traced; only used when cfg.mixup).
+    """
+
+    def apply_model(params, batch_stats, images, labels, rngs, mutable):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if cfg.task == "embedding":
+            out = model.apply(
+                variables, images, labels, train=True, rngs=rngs,
+                mutable=["batch_stats"] if mutable else False,
+            )
+        else:
+            out = model.apply(
+                variables, images, train=True, rngs=rngs,
+                mutable=["batch_stats"] if mutable else False,
+            )
+        if mutable:
+            y, new_state = out
+            return y, new_state.get("batch_stats", {})
+        return out, batch_stats
+
+    def compute_loss(params, batch_stats, images, labels, perm, lam, sw, rngs, mutable):
+        if cfg.task == "embedding":
+            (logits, aux), new_bs = apply_model(params, batch_stats, images, labels, rngs, mutable)
+            loss = lossfn(logits, labels, sw) + aux
+        elif cfg.mixup:
+            mixed = lam * images + (1.0 - lam) * jnp.take(images, perm, axis=0)
+            logits, new_bs = apply_model(params, batch_stats, mixed, labels, rngs, mutable)
+            loss = lam * lossfn(logits, labels, sw) + (1.0 - lam) * lossfn(
+                logits, jnp.take(labels, perm, axis=0), sw
+            )
+        else:
+            logits, new_bs = apply_model(params, batch_stats, images, labels, rngs, mutable)
+            loss = lossfn(logits, labels, sw)
+        return loss, new_bs
+
+    def step_fn(state: TrainState, batch: Dict[str, Array], lam: Array):
+        images = device_preprocess(batch["image"], cfg.mean, cfg.std)
+        labels = batch["label"]
+
+        rng = jax.random.fold_in(base_rng, state.step)
+        rng_perm, rng_drop = jax.random.split(rng)
+        rngs = {"dropout": rng_drop}
+        perm = jax.random.permutation(rng_perm, images.shape[0]) if cfg.mixup else None
+
+        sw = None
+        if cfg.ohem is not None:
+            pre_logits, _ = apply_model(
+                state.params, state.batch_stats, images, labels, rngs, mutable=False
+            )
+            sw = ohem_mask(jax.lax.stop_gradient(pre_logits), labels, cfg.ohem)
+
+        grad_fn = jax.value_and_grad(
+            lambda p, mutable: compute_loss(
+                p, state.batch_stats, images, labels, perm, lam, sw, rngs, mutable
+            ),
+            has_aux=True,
+        )
+        (loss, new_bs), grads = grad_fn(state.params, True)
+
+        if cfg.sam is not None:
+            # Climb to w+e(w), recompute grads with BN stats frozen
+            # (reference update_sam: second fwd/bwd with running stats off).
+            perturbed = sam_perturb(state.params, grads, cfg.sam)
+            (_, _), grads = grad_fn(perturbed, False)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_updates = state.ema_updates + 1
+        new_ema_p = update_ema(
+            state.ema_params, new_params, new_updates, cfg.ema_decay, cfg.ema_tau
+        )
+        new_ema_bs = update_ema(
+            state.ema_batch_stats, new_bs, new_updates, cfg.ema_decay, cfg.ema_tau
+        )
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            ema_params=new_ema_p,
+            ema_batch_stats=new_ema_bs,
+            ema_updates=new_updates,
+        )
+        metrics = {"loss": loss}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, cfg: StepConfig, use_ema: bool = True) -> Callable:
+    """Classification eval: (state, batch) -> (logits f32 [B,C]). Metrics are
+    reduced on host (mirrors procedure/evaluation.py's loop)."""
+
+    def eval_fn(state: TrainState, batch: Dict[str, Array]) -> Array:
+        images = device_preprocess(batch["image"], cfg.mean, cfg.std)
+        params = state.ema_params if use_ema else state.params
+        bs = state.ema_batch_stats if use_ema else state.batch_stats
+        logits = model.apply(
+            {"params": params, "batch_stats": bs}, images, train=False
+        )
+        return logits.astype(jnp.float32)
+
+    return jax.jit(eval_fn)
+
+
+def make_embed_step(model, cfg: StepConfig, use_ema: bool = True) -> Callable:
+    """Embedding extraction: (state, batch) -> L2-normalized [B, feat_dim]
+    (FeatureExtractor semantics, models/faceX/face_model.py:93-143)."""
+
+    def embed_fn(state: TrainState, batch: Dict[str, Array]) -> Array:
+        images = device_preprocess(batch["image"], cfg.mean, cfg.std)
+        params = state.ema_params if use_ema else state.params
+        bs = state.ema_batch_stats if use_ema else state.batch_stats
+        feats = model.apply(
+            {"params": params, "batch_stats": bs},
+            images,
+            train=False,
+            method=model.embed,
+        )
+        feats = feats.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(jnp.square(feats), axis=1, keepdims=True))
+        return feats / jnp.maximum(norm, 1e-12)
+
+    return jax.jit(embed_fn)

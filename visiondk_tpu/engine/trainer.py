@@ -1,0 +1,440 @@
+"""CenterProcessor: the host-side orchestration loop.
+
+Capability parity with the reference engine (engine/vision_engine.py:67-561):
+owns model/data/loss/optimizer/schedule/EMA/logger, runs ``run_classifier``
+(per-epoch train + EMA val + last/best checkpoints) and ``run_embedding``
+(batch-wise schedule, save_freq face/CBIR eval, Epoch_N checkpoints) — with
+the god-object state replaced by a functional ``TrainState`` threaded through
+jitted steps, and every epoch-level *strategy* (warmup augs, momentum swap,
+mixup window, focal swap, aug weakening, progressive resize —
+vision_engine.py:344-375) expressed as host-side schedule control that picks
+the step variant / feeds scalars.
+
+Distribution: one ``MeshContext`` replaces DDP/DistributedSampler/SyncBN
+(§2.9); batch sharding + jit insert the gradient psum over ICI.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visiondk_tpu.config.loader import get_imgsz, yaml_dump
+from visiondk_tpu.data.dataprocessor import SmartDataProcessor
+from visiondk_tpu.engine import evaluation as cls_eval
+from visiondk_tpu.engine import face_eval, cbir_eval
+from visiondk_tpu.engine.checkpoint import CheckpointManager
+from visiondk_tpu.engine.optim import SAMConfig, create_optimizer
+from visiondk_tpu.engine.schedules import create_scheduler, momentum_schedule
+from visiondk_tpu.engine.state import TrainState, create_train_state, place_state
+from visiondk_tpu.engine.steps import (
+    OHEMConfig,
+    StepConfig,
+    make_embed_step,
+    make_eval_step,
+    make_train_step,
+)
+from visiondk_tpu.losses import create_lossfn
+from visiondk_tpu.models.factory import get_model
+from visiondk_tpu.parallel.mesh import MeshContext, build_mesh
+from visiondk_tpu.utils.logger import SmartLogger
+from visiondk_tpu.utils.meters import AverageMeter
+from visiondk_tpu.utils.plots import colorstr
+
+
+class CenterProcessor:
+    def __init__(
+        self,
+        cfgs: Dict[str, Any],
+        project: str,
+        train: bool = True,
+        mesh: Optional[MeshContext] = None,
+        compute_dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.cfgs = cfgs
+        self.model_cfg = cfgs["model"]
+        self.data_cfg = cfgs["data"]
+        self.hyp_cfg = cfgs["hyp"]
+        self.task = self.model_cfg["task"]
+        self.project = Path(project)
+        self.mesh = mesh or build_mesh()
+        self.compute_dtype = compute_dtype
+        self.seed = seed
+        self.training = train
+
+        primary = self.mesh.is_primary()
+        self.project.mkdir(parents=True, exist_ok=True)
+        logfile = (
+            str(self.project / f"log{time.strftime('%Y%m%d-%H%M%S')}.log")
+            if primary and train
+            else None
+        )
+        self.logger = SmartLogger(filename=logfile)
+
+        if train:
+            yaml_dump(cfgs, self.project / "config.yaml")
+
+        # model (functional; params created lazily in run_*)
+        self.model = get_model(self.model_cfg, dtype=compute_dtype)
+
+        # data
+        self.data_processor = SmartDataProcessor(
+            self.data_cfg, project=str(self.project),
+            rank_is_primary=primary, training=train,
+        )
+        self.imgsz = get_imgsz(self.data_cfg["val"]["augment"])
+
+        # loss (vision_engine.py:107-132)
+        loss_cfg = self.hyp_cfg["loss"]
+        self.loss_choice = "ce" if loss_cfg.get("ce") else "bce"
+        label_smooth = self.hyp_cfg.get("label_smooth", 0.0)
+        if self.loss_choice == "ce":
+            self.lossfn = create_lossfn("ce", label_smooth=label_smooth)
+            self.thresh = 0
+        else:
+            self.lossfn = create_lossfn("bce")
+            self.thresh = loss_cfg["bce"][1]
+            if train and self.task == "classification":
+                self.data_processor.set_label_smoothing(
+                    self.model_cfg["num_classes"], label_smooth
+                )
+
+        strategy = self.hyp_cfg.get("strategy", {})
+        # OHEM (CE only)
+        ohem = strategy.get("ohem", [False])
+        self.ohem_cfg = (
+            OHEMConfig(*[x for x in ohem[1:4]]) if ohem and ohem[0] and self.loss_choice == "ce" else None
+        )
+        # mixup window
+        mix = strategy.get("mixup", [0.0, 0])
+        if isinstance(mix, dict):
+            mix = [mix["ratio"], mix["duration"]]
+        self.mixup_ratio, self.mixup_duration = float(mix[0]), int(mix[1])
+        # focal swap
+        focal = strategy.get("focal", [False])
+        self.focal_fn = (
+            create_lossfn("focal", alpha=focal[1], gamma=focal[2])
+            if focal and focal[0] and self.loss_choice == "bce"
+            else None
+        )
+        # progressive learning (vision_engine.py:141-156)
+        self.prog_learn = bool(strategy.get("prog_learn", False))
+        warm_ep = self.hyp_cfg["warm_ep"]
+        epochs = self.hyp_cfg["epochs"]
+        if self.prog_learn:
+            remaining = epochs - warm_ep
+            s1, s2 = remaining // 4, remaining // 4
+            self.resize_chnodes = [warm_ep, warm_ep + s1, warm_ep + s1 + s2]
+            mi = self.imgsz
+            self.imgsz_milestone = [int(x) for x in np.linspace(int(mi * 0.5), mi, 3)]
+        # SAM
+        opt_name = self.hyp_cfg["optimizer"][0]
+        self.sam_cfg = SAMConfig() if opt_name == "sam" else None
+        self.opt_name = opt_name
+        self.layer_wise = bool(self.hyp_cfg["optimizer"][1]) if isinstance(
+            self.hyp_cfg["optimizer"], (list, tuple)
+        ) and len(self.hyp_cfg["optimizer"]) > 1 else False
+
+        self.ckpt = CheckpointManager(self.project) if train else CheckpointManager(self.project)
+        self._step_cache: Dict[Any, Callable] = {}
+
+    # ------------------------------------------------------------ helpers
+
+    def _init_state(self, tx, batch_example) -> TrainState:
+        rng = jax.random.key(self.seed)
+        dummy = jnp.zeros(batch_example, jnp.float32)
+        if self.task == "classification":
+            variables = self.model.init({"params": rng, "dropout": rng}, dummy, train=False)
+        else:
+            dummy_labels = jnp.zeros((batch_example[0],), jnp.int32)
+            variables = self.model.init(
+                {"params": rng, "dropout": rng}, dummy, dummy_labels, train=False
+            )
+        state = create_train_state(variables, tx)
+        return place_state(self.mesh, state)
+
+    def _build_tx(self, steps_per_epoch: int, discrete_per_epoch: bool):
+        hyp = self.hyp_cfg
+        epoch_sched = create_scheduler(
+            hyp["scheduler"], hyp["warm_ep"], hyp["epochs"], hyp["lr0"], hyp.get("lrf_ratio")
+        )
+        mom_sched_ep = momentum_schedule(
+            hyp["warm_ep"], hyp["momentum"], hyp.get("warmup_momentum", hyp["momentum"])
+        )
+
+        def to_epochs(count):
+            t = count / steps_per_epoch
+            return jnp.floor(t) if discrete_per_epoch else t
+
+        lr_sched = lambda count: epoch_sched(to_epochs(count))
+        mom_sched = lambda count: mom_sched_ep(to_epochs(count))
+        base = "sgd" if self.opt_name == "sam" else self.opt_name
+        return create_optimizer(
+            base, lr_sched, hyp["weight_decay"], mom_sched,
+            layer_wise_lr=self.layer_wise,
+        )
+
+    def _get_train_step(self, tx, key, lossfn, mixup: bool) -> Callable:
+        if key not in self._step_cache:
+            cfg = StepConfig(
+                task="classification" if self.task == "classification" else "embedding",
+                mixup=mixup,
+                sam=self.sam_cfg,
+                ohem=self.ohem_cfg if not mixup else self.ohem_cfg,
+                mean=self.data_processor.normalization[0],
+                std=self.data_processor.normalization[1],
+            )
+            self._step_cache[key] = make_train_step(
+                self.model, tx, lossfn, cfg, jax.random.key(self.seed + 1)
+            )
+        return self._step_cache[key]
+
+    def _shard_batch(self, batch: Dict[str, np.ndarray]):
+        arrays = {k: v for k, v in batch.items() if k != "valid"}
+        return jax.device_put(arrays, self.mesh.batch)
+
+    # --------------------------------------------------------- classification
+
+    def run_classifier(self, resume: Optional[str] = None) -> Dict[str, Any]:
+        hyp, data_cfg = self.hyp_cfg, self.data_cfg
+        epochs, warm_ep = hyp["epochs"], hyp["warm_ep"]
+        aug_epoch = data_cfg["train"].get("aug_epoch", epochs)
+        logger = self.logger
+        dp = self.data_processor
+        primary = self.mesh.is_primary()
+
+        global_bs = data_cfg["train"]["bs"]
+        train_loader = dp.dataloader(
+            "train", global_bs, seed=self.seed,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
+        val_loader = dp.dataloader("val", data_cfg["val"]["bs"])
+        steps_per_epoch = max(len(train_loader), 1)
+
+        if primary:
+            dist = dp.train_dataset.tell_data_distribution()
+            logger.both({"data_distribution(train)": dict(dist)})
+
+        tx = self._build_tx(steps_per_epoch, discrete_per_epoch=True)
+        state = self._init_state(tx, (global_bs, self.imgsz, self.imgsz, 3))
+        eval_step = make_eval_step(
+            self.model,
+            StepConfig(mean=dp.normalization[0], std=dp.normalization[1]),
+            use_ema=True,
+        )
+
+        best_fitness, start_epoch = 0.0, 0
+        if resume:
+            state, meta = self.ckpt.restore(resume, state)
+            start_epoch = meta["epoch"] + 1
+            best_fitness = meta["best_fitness"]
+            if primary:
+                logger.both(f"resume: {resume} (epoch {start_epoch})")
+        elif self.model_cfg.get("load_from"):
+            state = self._apply_load_from(state, self.model_cfg["load_from"])
+
+        num_classes = self.model_cfg["num_classes"]
+        lossfn = self.lossfn
+        if primary:
+            head = (
+                f"{'Epoch':>10}{'train_loss':>12}{'val_loss':>12}{'top1':>10}{'top5':>10}"
+                if self.thresh == 0
+                else f"{'Epoch':>10}{'train_loss':>12}{'val_loss':>12}{'precision':>12}{'recall':>10}{'f1':>10}"
+            )
+            logger.console(head)
+
+        t0 = time.time()
+        last_metrics: Dict[str, Any] = {}
+        for epoch in range(start_epoch, epochs):
+            # -- strategy control (vision_engine.py:344-375)
+            if epoch == 0:
+                dp.set_augment("train", None)
+                mixup_active = False
+            if epoch == warm_ep:
+                dp.restore_train_augment()
+                if self.focal_fn is not None:
+                    lossfn = self.focal_fn
+                if primary and self.mixup_ratio > 0 and self.mixup_duration > 0:
+                    logger.both("Mixup start up")
+            mixup_active = (
+                self.mixup_ratio > 0
+                and self.mixup_duration > 0
+                and warm_ep <= epoch < warm_ep + self.mixup_duration
+            )
+            if (
+                self.mixup_ratio > 0 and self.mixup_duration > 0
+                and epoch == warm_ep + self.mixup_duration and primary
+            ):
+                logger.both("Mixup end")
+            dp.auto_aug_weaken(epoch, milestone=aug_epoch)
+            if self.prog_learn:
+                for node, size in zip(self.resize_chnodes, self.imgsz_milestone):
+                    if epoch == node:
+                        dp.set_train_size(size)
+                        if primary:
+                            logger.both(f"progressive resize -> {size}")
+
+            loss_key = "focal" if (lossfn is self.focal_fn) else self.loss_choice
+            step = self._get_train_step(tx, (loss_key, mixup_active), lossfn, mixup_active)
+
+            train_loader.set_epoch(epoch)
+            tloss = 0.0
+            for i, batch in enumerate(train_loader):
+                lam = (
+                    float(np.random.default_rng(self.seed * 100000 + epoch * 10000 + i).beta(
+                        self.mixup_ratio, self.mixup_ratio
+                    ))
+                    if mixup_active
+                    else 0.0
+                )
+                dev_batch = self._shard_batch(batch)
+                state, metrics = step(state, dev_batch, jnp.float32(lam))
+                tloss = (tloss * i + float(metrics["loss"])) / (i + 1)
+
+            # -- EMA validation (train.py:127-143)
+            val_metrics = cls_eval.valuate(
+                eval_step, state, val_loader, num_classes,
+                thresh=self.thresh if self.loss_choice == "bce" else None,
+                lossfn=lossfn,
+                class_names=dp.val_dataset.class_names,
+            )
+            fitness = val_metrics["fitness"]
+            last_metrics = val_metrics
+            if primary:
+                if self.thresh == 0:
+                    logger.console(
+                        f"{epoch + 1:>6}/{epochs:<3}{tloss:>12.4g}"
+                        f"{val_metrics.get('v_loss', float('nan')):>12.4g}"
+                        f"{val_metrics['top1']:>10.3g}{val_metrics.get('top5', 0.0):>10.3g}"
+                    )
+                else:
+                    logger.console(
+                        f"{epoch + 1:>6}/{epochs:<3}{tloss:>12.4g}"
+                        f"{val_metrics.get('v_loss', float('nan')):>12.4g}"
+                        f"{val_metrics['precision']:>12.3g}{val_metrics['recall']:>10.3g}"
+                        f"{val_metrics['f1score']:>10.3g}"
+                    )
+                logger.log(f"epoch:{epoch + 1} t_loss:{tloss:.4f} fitness:{fitness:.4f}")
+
+                # -- checkpoints (vision_engine.py:386-403)
+                self.ckpt.save("last", state, epoch, max(best_fitness, fitness))
+                if fitness > best_fitness:
+                    best_fitness = fitness
+                    self.ckpt.save("best", state, epoch, best_fitness)
+
+        if primary:
+            hours = (time.time() - t0) / 3600
+            logger.both(
+                f"\n{epochs - start_epoch} epochs completed in {hours:.3f} hours."
+            )
+            logger.console(
+                colorstr("Validate:")
+                + f" python validate.py --cfgs {self.project / 'config.yaml'}"
+                f" --weight {self.project / 'best'} --ema"
+            )
+        return {"best_fitness": best_fitness, **last_metrics}
+
+    # ------------------------------------------------------------ embedding
+
+    def run_embedding(self, resume: Optional[str] = None, save_freq: int = 1) -> Dict[str, Any]:
+        hyp, data_cfg = self.hyp_cfg, self.data_cfg
+        epochs, warm_ep = hyp["epochs"], hyp["warm_ep"]
+        logger = self.logger
+        dp = self.data_processor
+        primary = self.mesh.is_primary()
+
+        global_bs = data_cfg["train"]["bs"]
+        train_loader = dp.dataloader(
+            "train", global_bs, seed=self.seed,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
+        steps_per_epoch = max(len(train_loader), 1)
+
+        # batch-wise schedule horizon (vision_engine.py:486-489)
+        tx = self._build_tx(steps_per_epoch, discrete_per_epoch=False)
+        state = self._init_state(tx, (global_bs, self.imgsz, self.imgsz, 3))
+        embed_step = make_embed_step(
+            self.model,
+            StepConfig(mean=dp.normalization[0], std=dp.normalization[1]),
+            use_ema=True,
+        )
+
+        best_fitness, start_epoch = 0.0, 0
+        if resume:
+            state, meta = self.ckpt.restore(resume, state)
+            start_epoch = meta["epoch"] + 1
+            best_fitness = meta.get("best_fitness", 0.0)
+            if primary:
+                logger.both(f"resume: {resume} (epoch {start_epoch})")
+        elif self.model_cfg.get("load_from"):
+            state = self._apply_load_from(state, self.model_cfg["load_from"])
+
+        step = self._get_train_step(tx, ("embed", False), self.lossfn, mixup=False)
+        loss_meter = AverageMeter()
+        fitness_metrics: Dict[str, Any] = {}
+
+        for epoch in range(start_epoch, epochs):
+            train_loader.set_epoch(epoch)
+            loss_meter.reset()
+            for batch in train_loader:
+                dev_batch = self._shard_batch(batch)
+                state, metrics = step(state, dev_batch, jnp.float32(0.0))
+                loss_meter.update(float(metrics["loss"]), n=batch["image"].shape[0])
+            if primary:
+                logger.both(f"epoch:{epoch + 1}/{epochs} loss:{loss_meter.avg:.4f}")
+
+            if (epoch + 1) % save_freq == 0 or epoch == epochs - 1:
+                fitness_metrics = self._eval_embedding(embed_step, state)
+                if primary:
+                    logger.both(fitness_metrics)
+                    self.ckpt.save(
+                        f"Epoch_{epoch + 1}", state, epoch, best_fitness,
+                        extra={"fitness": {k: float(v) for k, v in fitness_metrics.items()}},
+                    )
+                    self.ckpt.save("last", state, epoch, best_fitness)
+        return fitness_metrics
+
+    def _eval_embedding(self, embed_step, state) -> Dict[str, Any]:
+        from visiondk_tpu.data.datasets import CBIRDatasets
+        from visiondk_tpu.data.transforms import create_aug_transforms
+
+        val_aug = create_aug_transforms(self.data_cfg["val"]["augment"])
+        if self.task == "face":
+            pair_txt = self.data_cfg["val"]["pair_txt"]
+            mean, sem = face_eval.valuate(
+                embed_step, state, pair_txt, self.data_cfg["root"], val_aug,
+                batch_size=self.data_cfg["val"]["bs"],
+            )
+            return {"mean": mean, "std": sem}
+        query, gallery = CBIRDatasets.build(self.data_cfg["root"], transforms=val_aug)
+        mcfg = self.data_cfg["val"].get("metrics", {})
+        return cbir_eval.valuate(
+            embed_step, state, query, gallery,
+            batch_size=self.data_cfg["val"]["bs"],
+            metrics=mcfg.get("metrics", ["mrr", "recall", "precision", "auc", "ndcg"]),
+            cutoffs=mcfg.get("cutoffs", [1, 3, 5]),
+            mesh=self.mesh.mesh,
+        )
+
+    # ------------------------------------------------------------ load_from
+
+    def _apply_load_from(self, state: TrainState, path: str) -> TrainState:
+        tmp_mgr = CheckpointManager(Path(path).parent)
+        loaded, _ = tmp_mgr.restore(Path(path).name, state)
+        params = CheckpointManager.load_from(
+            state.params, loaded.ema_params, logger=self.logger, prefix="ema "
+        )
+        if self.mesh.is_primary():
+            self.logger.both(f"load_from: {path}")
+        from visiondk_tpu.models.ema import init_ema
+
+        # init_ema copies — params/ema_params must not alias (step donation).
+        return state.replace(params=params, ema_params=init_ema(params))

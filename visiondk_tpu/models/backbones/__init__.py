@@ -11,6 +11,6 @@ from visiondk_tpu.registry import Registry
 BACKBONES = Registry("backbone")
 
 # Import for registration side effects.
-from visiondk_tpu.models.backbones import resnet, vit, convnext  # noqa: E402,F401
+from visiondk_tpu.models.backbones import resnet, vit, convnext, swin  # noqa: E402,F401
 
 __all__ = ["BACKBONES"]

@@ -1,0 +1,228 @@
+"""Swin Transformer (T/S/B) — the reference's default backbone
+(configs/classification/pet.yaml:26: swin_base_patch4_window7_224).
+
+TPU notes: window attention reshapes to [B·nW, ws², C] — a large leading
+batch of small matmuls, ideal MXU tiling; the shifted-window mask is a static
+additive bias (precomputed per stage resolution, no dynamic shapes); cyclic
+shift is ``jnp.roll`` (XLA lowers to cheap HBM-free slices).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from visiondk_tpu.models.backbones import BACKBONES
+from visiondk_tpu.models.layers import DropPath, Mlp
+
+Array = Any
+
+
+def window_partition(x: Array, ws: int) -> Array:
+    """[B, H, W, C] → [B·nW, ws, ws, C]."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(-1, ws, ws, C)
+
+
+def window_reverse(windows: Array, ws: int, H: int, W: int) -> Array:
+    """[B·nW, ws, ws, C] → [B, H, W, C]."""
+    B = windows.shape[0] // ((H // ws) * (W // ws))
+    x = windows.reshape(B, H // ws, W // ws, ws, ws, -1)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(B, H, W, -1)
+
+
+def relative_position_index(ws: int) -> np.ndarray:
+    """Static [ws², ws²] index into the (2ws−1)² relative-bias table."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))  # [2, ws, ws]
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # [2, n, n]
+    rel = rel.transpose(1, 2, 0) + np.array([ws - 1, ws - 1])
+    return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
+
+
+def shifted_window_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
+    """Static additive attention mask [nW, ws², ws²] for SW-MSA."""
+    img_mask = np.zeros((1, H, W, 1), np.int32)
+    cnt = 0
+    for h in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for w in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[:, h, w, :] = cnt
+            cnt += 1
+    mw = img_mask.reshape(1, H // ws, ws, W // ws, ws, 1)
+    mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
+    attn_mask = (mw[:, None, :] != mw[:, :, None]).astype(np.float32) * -100.0
+    return attn_mask  # [nW, n, n]
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, mask=None) -> Array:
+        # x: [B', N, C] with N = ws²
+        Bp, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(Bp, N, 3, h, hd)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)
+        q = jnp.moveaxis(q, 2, 1)  # [B', h, N, hd]
+        k = jnp.moveaxis(k, 2, 1)
+        v = jnp.moveaxis(v, 2, 1)
+        attn = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * hd**-0.5, k, preferred_element_type=jnp.float32
+        )
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.normal(0.02),
+            ((2 * self.window_size - 1) ** 2, h),
+            jnp.float32,
+        )
+        idx = relative_position_index(self.window_size)
+        bias = table[idx.reshape(-1)].reshape(N, N, h)
+        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(Bp // nW, nW, h, N, N) + mask[None, :, None]
+            attn = attn.reshape(Bp, h, N, N)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = jnp.moveaxis(out, 1, 2).reshape(Bp, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    input_resolution: Tuple[int, int]
+    window_size: int = 7
+    shift: int = 0
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        H, W = self.input_resolution
+        B, N, C = x.shape
+        ws = min(self.window_size, H, W)
+        shift = self.shift if ws < min(H, W) else 0
+
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x).reshape(B, H, W, C)
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(shifted_window_mask(H, W, ws, shift))
+        else:
+            mask = None
+        windows = window_partition(y, ws).reshape(-1, ws * ws, C)
+        attn = WindowAttention(
+            self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
+        )(windows, mask)
+        y = window_reverse(attn.reshape(-1, ws, ws, C), ws, H, W)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        y = y.reshape(B, N, C)
+        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic=deterministic)
+
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(y, deterministic=deterministic)
+        return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic=deterministic)
+
+
+class PatchMerging(nn.Module):
+    input_resolution: Tuple[int, int]
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        H, W = self.input_resolution
+        B, N, C = x.shape
+        x = x.reshape(B, H, W, C)
+        x = jnp.concatenate(
+            [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
+            axis=-1,
+        ).reshape(B, (H // 2) * (W // 2), 4 * C)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
+
+
+class SwinTransformer(nn.Module):
+    image_size: int = 224
+    patch_size: int = 4
+    embed_dim: int = 128
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (4, 8, 16, 32)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    num_classes: int = 1000
+    stochastic_depth_prob: float = 0.1
+    unpooled: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        det = not train
+        x = x.astype(self.dtype)
+        B = x.shape[0]
+        x = nn.Conv(
+            self.embed_dim, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size), padding="VALID",
+            dtype=self.dtype, name="patch_embed",
+        )(x)
+        _, H, W, C = x.shape
+        x = x.reshape(B, H * W, C)
+        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+
+        total = sum(self.depths)
+        bidx = 0
+        res = (H, W)
+        dim = self.embed_dim
+        for stage, depth in enumerate(self.depths):
+            for b in range(depth):
+                dp = self.stochastic_depth_prob * bidx / max(total - 1, 1)
+                x = SwinBlock(
+                    dim, self.num_heads[stage], res,
+                    window_size=self.window_size,
+                    shift=0 if b % 2 == 0 else self.window_size // 2,
+                    mlp_ratio=self.mlp_ratio,
+                    drop_path=dp, dtype=self.dtype,
+                    name=f"stage{stage}_block{b}",
+                )(x, deterministic=det)
+                bidx += 1
+            if stage < len(self.depths) - 1:
+                x = PatchMerging(res, dim, dtype=self.dtype, name=f"merge{stage}")(x)
+                res = (res[0] // 2, res[1] // 2)
+                dim *= 2
+
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        if self.num_classes == 0 and self.unpooled:
+            return x.astype(jnp.float32)  # [B, H/32·W/32, 8·embed_dim]
+        feats = jnp.mean(x, axis=1).astype(jnp.float32)
+        if self.num_classes == 0:
+            return feats
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(feats)
+
+
+def _swin(embed_dim, depths, num_heads, window_size=7):
+    def factory(num_classes: int = 1000, dtype=jnp.float32, **kwargs):
+        return SwinTransformer(
+            embed_dim=embed_dim, depths=depths, num_heads=num_heads,
+            window_size=window_size, num_classes=num_classes, dtype=dtype, **kwargs,
+        )
+
+    return factory
+
+
+BACKBONES.register(_swin(96, (2, 2, 6, 2), (3, 6, 12, 24)), name="swin_tiny_patch4_window7_224")
+BACKBONES.register(_swin(96, (2, 2, 18, 2), (3, 6, 12, 24)), name="swin_small_patch4_window7_224")
+BACKBONES.register(_swin(128, (2, 2, 18, 2), (4, 8, 16, 32)), name="swin_base_patch4_window7_224")

@@ -18,12 +18,16 @@ import jax.numpy as jnp
 
 
 def init_ema(tree: Any) -> Any:
-    """fp32 copy of all float leaves; non-float leaves pass through unchanged."""
+    """fp32 copy of all float leaves; non-float leaves copied as-is.
+
+    Always a true copy (never an alias of the live leaf): the train step donates
+    the whole TrainState, and XLA rejects donating the same buffer twice.
+    """
 
     def _cast(x):
         if jnp.issubdtype(x.dtype, jnp.floating):
-            return x.astype(jnp.float32)
-        return x
+            return jnp.array(x, jnp.float32, copy=True)
+        return jnp.array(x, copy=True)
 
     return jax.tree_util.tree_map(_cast, tree)
 
