@@ -81,7 +81,7 @@ def make_sharded_search(mesh: Mesh, k: int, compute_dtype=jnp.bfloat16):
         mesh=mesh,
         in_specs=(P(), P("data", None)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
