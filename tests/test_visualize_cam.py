@@ -1,0 +1,111 @@
+"""CAM + Visualizer tests (reference utils/cam.py, engine/procedure/visualizer.py)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+class _Logger:
+    def console(self, *a):
+        pass
+
+
+def _make_imgs(tmp_path, n=4, size=32):
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    paths = []
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        p = tmp_path / f"img_{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (size, size, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    return paths
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.factory import VisionModel
+
+    model = VisionModel(backbone_name="resnet18", num_classes=4)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    return model, variables, x
+
+
+@pytest.mark.parametrize("method", ["gradcam", "gradcampp", "xgradcam", "layercam", "eigencam"])
+def test_cam_methods(small_model, method):
+    from visiondk_tpu.utils.cam import ClassActivationMaper
+
+    model, variables, x = small_model
+    cam = ClassActivationMaper(
+        model, method=method, variables=variables, example=x, backbone_name="resnet18"
+    )
+    assert "stage4_block" in cam.target_path
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    overlay = cam(image=img, input_tensor=np.random.default_rng(1).normal(size=(1, 32, 32, 3)).astype(np.float32))
+    assert overlay.shape == (32, 32, 3)
+    assert overlay.dtype == np.uint8
+
+
+def test_cam_vit_token_map():
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.factory import VisionModel
+    from visiondk_tpu.utils.cam import ClassActivationMaper
+
+    model = VisionModel(backbone_name="vit_small_patch16_224", num_classes=3)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False)
+    cam = ClassActivationMaper(
+        model, method="gradcam", variables=variables, example=x, backbone_name="vit_small_patch16_224"
+    )
+    assert cam.target_path.endswith("norm1")
+    overlay = cam(image=np.zeros((32, 32, 3), np.uint8), input_tensor=np.zeros((1, 32, 32, 3), np.float32))
+    assert overlay.shape == (32, 32, 3)
+
+
+def test_predict_images_badcase(tmp_path):
+    from visiondk_tpu.engine.visualizer import Visualizer
+
+    paths = _make_imgs(tmp_path / "data", 4)
+    (tmp_path / "data").mkdir(exist_ok=True)
+
+    class DS:
+        def __len__(self):
+            return len(paths)
+
+        def __getitem__(self, i):
+            img = Image.open(paths[i])
+            return img, np.asarray(img), paths[i]
+
+    # forward: always predicts class 1 ("dog")
+    def forward(x):
+        return np.array([[0.1, 5.0, 0.2]])
+
+    out = tmp_path / "vis"
+    Visualizer.predict_images(
+        forward, DS(), out, {0: "cat", 1: "dog", 2: "bird"}, _Logger(),
+        thresh=0, badcase=True, target_class="cat", save_image=True,
+    )
+    # all predicted dog, target cat → all badcases moved
+    assert len(list((out / "bad_case").glob("*.jpg"))) == 4
+    assert len(list((out / "labels").glob("*.txt"))) == 4
+    txt = (out / "labels" / "img_0.txt").read_text().splitlines()
+    assert txt[0].split()[0] == "dog"
+
+
+def test_visualize_results_grid(tmp_path):
+    from visiondk_tpu.engine.visualizer import Visualizer
+
+    d = tmp_path / "g" / "id1"
+    d.mkdir(parents=True)
+    paths = _make_imgs(d, 6)
+    out = Visualizer.visualize_results(
+        paths[0], paths[1:6], [0.9, 0.8, 0.7, 0.6, 0.5], paths[1:3], tmp_path / "vis",
+        max_rank=5,
+    )
+    assert out.is_file()
