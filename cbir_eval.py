@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Standalone CBIR evaluation CLI — reference cbir_eval.py parity
+(cbir_eval.py:35-199: index gallery → search queries → MRR/Recall/Precision/
+AUC/nDCG). The faiss index+search is replaced by the exact sharded-GEMM
+top-k (visiondk_tpu/ops/retrieval.py).
+
+    python cbir_eval.py --cfgs run/exp/config.yaml --weight run/exp/Epoch_10 \
+        [--ema] [--cutoffs 1 3 5] [--root <query/gallery root>]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def parse_opt():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfgs", required=True)
+    p.add_argument("--weight", required=True, help="checkpoint dir")
+    p.add_argument("--ema", action="store_true")
+    p.add_argument("--root", default=None, help="override data root")
+    p.add_argument("--cutoffs", type=int, nargs="+", default=[1, 3, 5])
+    p.add_argument(
+        "--metrics", nargs="+", default=["mrr", "recall", "precision", "auc", "ndcg"]
+    )
+    return p.parse_args()
+
+
+def main(opt):
+    from visiondk_tpu.config import yaml_load
+    from visiondk_tpu.data.datasets import CBIRDatasets
+    from visiondk_tpu.data.transforms import create_aug_transforms
+    from visiondk_tpu.engine import CenterProcessor, CheckpointManager, cbir_eval
+    from visiondk_tpu.engine.steps import StepConfig, make_embed_step
+
+    cfgs = yaml_load(opt.cfgs)
+    if opt.root:
+        cfgs["data"]["root"] = opt.root
+    weight = Path(opt.weight)
+    cp = CenterProcessor(cfgs, project=str(weight.parent), train=False)
+
+    tx = cp._build_tx(steps_per_epoch=1, discrete_per_epoch=True)
+    state = cp._init_state(tx, (cfgs["data"]["val"]["bs"], cp.imgsz, cp.imgsz, 3))
+    state, _ = CheckpointManager(weight.parent).restore(weight.name, state)
+
+    embed_step = make_embed_step(
+        cp.model,
+        StepConfig(mean=cp.data_processor.normalization[0], std=cp.data_processor.normalization[1]),
+        use_ema=opt.ema,
+    )
+    val_aug = create_aug_transforms(cfgs["data"]["val"]["augment"])
+    query, gallery = CBIRDatasets.build(cfgs["data"]["root"], transforms=val_aug)
+    metrics = cbir_eval.valuate(
+        embed_step, state, query, gallery,
+        batch_size=cfgs["data"]["val"]["bs"],
+        metrics=opt.metrics,
+        cutoffs=opt.cutoffs,
+        mesh=cp.mesh.mesh,
+    )
+    for k, v in metrics.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main(parse_opt())
