@@ -67,24 +67,30 @@ def run(batch=128, train_iters=20, embed_iters=20, warmup=3):
 
     state, step, embed_state, embed = build(batch)
 
+    # NOTE: on the tunneled TPU backend block_until_ready does not actually
+    # block; a device→host scalar fetch is the only reliable sync. Steps chain
+    # through `state`, so fetching the final loss forces the whole run.
     lam = jnp.float32(0.0)
     for _ in range(warmup):
         state, m = step(state, batch_dev, lam)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(train_iters):
         state, m = step(state, batch_dev, lam)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     train_ips = batch * train_iters / (time.perf_counter() - t0)
 
     ebatch = {"image": batch_dev["image"]}
     for _ in range(warmup):
         f = embed(embed_state, ebatch)
-    jax.block_until_ready(f)
+    float(f.sum())
     t0 = time.perf_counter()
+    acc = None
     for _ in range(embed_iters):
         f = embed(embed_state, ebatch)
-    jax.block_until_ready(f)
+        # chain a cheap dependency so iterations cannot be reordered away
+        acc = f if acc is None else acc + f
+    float(acc.sum())
     embed_ips = batch * embed_iters / (time.perf_counter() - t0)
 
     # headline = harmonic blend of the two phases (train-dominated workload)

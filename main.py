@@ -28,19 +28,22 @@ def parse_opt():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model_parallel", type=int, default=1,
                    help="mesh 'model' axis size for partial-FC head sharding")
+    p.add_argument("--distill", action="store_true",
+                   help="config has student/teacher sections; train with KD")
     return p.parse_args()
 
 
 def main(opt):
     from visiondk_tpu.config import yaml_load, check, increment_path
-    from visiondk_tpu.engine import CenterProcessor
+    from visiondk_tpu.engine import CenterProcessor, DistillCenterProcessor
     from visiondk_tpu.parallel import build_mesh
 
     cfgs = yaml_load(opt.cfgs)
-    task = cfgs["model"]["task"]
-    check(task, cfgs)
+    main_cfg = cfgs["student"] if opt.distill else cfgs
+    task = main_cfg["model"]["task"]
+    check(task, main_cfg)
     if opt.load_from:
-        cfgs["model"]["load_from"] = opt.load_from
+        main_cfg["model"]["load_from"] = opt.load_from
 
     if opt.resume:
         project = Path(opt.project)  # resume into the existing run dir
@@ -48,7 +51,12 @@ def main(opt):
         project = increment_path(Path(opt.project))
 
     mesh = build_mesh(model=opt.model_parallel)
-    cp = CenterProcessor(cfgs, project=str(project), train=True, mesh=mesh, seed=opt.seed)
+    if opt.distill:
+        cp = DistillCenterProcessor(
+            cfgs, project=str(project), train=True, mesh=mesh, seed=opt.seed
+        )
+    else:
+        cp = CenterProcessor(cfgs, project=str(project), train=True, mesh=mesh, seed=opt.seed)
     if task == "classification":
         cp.run_classifier(resume=opt.resume)
     else:

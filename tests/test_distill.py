@@ -1,0 +1,125 @@
+"""Knowledge-distillation tests — the working version of the reference's stub
+(distills/distillers.py; Trainer raises NotImplementedError on distill)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.test_e2e_classification import _cfgs, _make_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    return _make_dataset(tmp_path_factory.mktemp("kd_toy"))
+
+
+def test_distill_kl_matches_manual():
+    import jax.numpy as jnp
+
+    from visiondk_tpu.losses.losses import distill_kl
+
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.normal(size=(4, 5)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(4, 5)), jnp.float32)
+    T = 4.0
+
+    def softmax(x):
+        e = np.exp(x - x.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
+
+    p_t = softmax(np.asarray(t) / T)
+    log_p_s = np.log(softmax(np.asarray(s) / T))
+    expect = (p_t * (np.log(p_t) - log_p_s)).sum() * T * T / 4
+    assert abs(float(distill_kl(s, t, T)) - expect) < 1e-4
+
+
+def test_distill_step_trains(dataset_root, tmp_path, mesh8):
+    """Train a teacher, checkpoint it, then distill a student from it —
+    exercises teacher restore + the fused CE/KL step end-to-end."""
+    import jax.numpy as jnp
+
+    from visiondk_tpu.engine import CenterProcessor, DistillCenterProcessor
+
+    teacher_cfg = _cfgs(dataset_root)
+    teacher_cfg["hyp"]["epochs"] = 4
+    t = CenterProcessor(
+        teacher_cfg, project=str(tmp_path / "teacher"), train=True, mesh=mesh8,
+        compute_dtype=jnp.float32,
+    )
+    t_out = t.run_classifier()
+    assert t_out["best_fitness"] >= 0.9, t_out
+
+    student_cfg = _cfgs(dataset_root)
+    student_cfg["hyp"]["epochs"] = 4
+    cfgs = {
+        "student": student_cfg,
+        "teacher": {
+            "model": dict(teacher_cfg["model"]),
+            "weight": str(tmp_path / "teacher" / "best"),
+            "ema": True,
+        },
+        # T=1 keeps the KL gradient at CE scale — this toy set diverges at the
+        # ~T× effective-LR boost that T=4 gives (verified: kl_weight=0
+        # reproduces the plain-trainer trajectory bit-for-bit).
+        "distill": {"cls_weight": 0.5, "kl_weight": 0.5, "temperature": 1.0},
+    }
+    cp = DistillCenterProcessor(
+        cfgs, project=str(tmp_path / "kd"), train=True, mesh=mesh8,
+        compute_dtype=jnp.float32,
+    )
+    out = cp.run_classifier()
+    assert out["best_fitness"] >= 0.8, out
+
+
+def test_embed_distill_step(tmp_path):
+    """Student embedding converges toward fixed teacher features (cosine)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from visiondk_tpu.engine.distill import make_embed_distill_step
+    from visiondk_tpu.engine.state import create_train_state
+    from visiondk_tpu.engine.steps import StepConfig
+    from visiondk_tpu.models.factory import EmbeddingModel
+
+    model = EmbeddingModel(backbone_name="resnet18", feat_dim=16, head_config=None)
+    rng = jax.random.key(0)
+    x = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": rng}, x, method=model.embed, train=False)
+    tx = optax.sgd(0.05, momentum=0.9)
+    state = create_train_state(variables, tx)
+    step = make_embed_distill_step(model, tx, StepConfig(task="embedding"), rng, "cosine")
+
+    data_rng = np.random.default_rng(0)
+    images = data_rng.integers(0, 255, (8, 32, 32, 3)).astype(np.uint8)
+    feats = data_rng.normal(size=(8, 16)).astype(np.float32)
+    batch = {"image": jnp.asarray(images), "feature": jnp.asarray(feats)}
+
+    losses = []
+    for _ in range(20):
+        state, m = step(state, batch, jnp.float32(0.0))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_embedding_distill_dataset(tmp_path):
+    from visiondk_tpu.data.datasets import EmbeddingDistillDataset
+
+    img_dir = tmp_path / "imgs"
+    feat_dir = tmp_path / "feats"
+    img_dir.mkdir(), feat_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)).save(
+            img_dir / f"im{i}.jpg"
+        )
+        if i < 3:  # one image without a feature → excluded
+            np.save(feat_dir / f"im{i}.npy", rng.normal(size=(16,)).astype(np.float32))
+
+    exclude = tmp_path / "exclude.txt"
+    exclude.write_text(str(feat_dir / "im0.npy") + "\n")
+
+    ds = EmbeddingDistillDataset(str(img_dir), str(feat_dir), exclude=str(exclude))
+    assert len(ds) == 2
+    img, feat = ds[0]
+    assert img.shape == (8, 8, 3) and feat.shape == (16,)

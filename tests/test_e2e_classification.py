@@ -7,7 +7,11 @@ import pytest
 from PIL import Image
 
 
-def _make_dataset(root, n_per_class=16, size=32):
+def _make_dataset(root, n_per_class=64, size=32):
+    # 64/class × 2 classes / bs 16 = 8 steps/epoch: enough optimizer steps for
+    # the BatchNorm running stats (momentum 0.9) to converge — with only
+    # 2 steps/epoch, eval-mode stats stay ~40% at init and val collapses
+    # to one class on some runs (train fits, eval 0.5 — observed flake).
     rng = np.random.default_rng(0)
     colors = {"reddish": (200, 40, 40), "blueish": (40, 40, 200)}
     for split, n in (("train", n_per_class), ("val", 8)):

@@ -252,6 +252,48 @@ class PredictImageDatasets:
         return np.asarray(img), path
 
 
+class EmbeddingDistillDataset:
+    """(image, teacher-feature .npy) pairs for embedding distillation with an
+    optional exclude-list (reference basedataset.py:598-657). Yields
+    (uint8 array, f32 feature vector)."""
+
+    def __init__(
+        self,
+        image_dir: str,
+        feat_dir: str,
+        transforms: Optional[Callable] = None,
+        exclude: Optional[str] = None,
+        postfix: str = "jpg",
+    ):
+        self.transforms = transforms
+        self.images: List[str] = []
+        self.features: List[str] = []
+
+        excluded = set()
+        if exclude is not None:
+            with open(exclude) as f:
+                excluded = {line.strip() for line in f if line.strip()}
+
+        with os.scandir(image_dir) as it:
+            entries = sorted(e.path for e in it if e.is_file() and e.name.endswith(f".{postfix}"))
+        for img_path in entries:
+            stem = Path(img_path).stem
+            feat_path = os.path.join(feat_dir, f"{stem}.npy")
+            if os.path.isfile(feat_path) and feat_path not in excluded:
+                self.images.append(img_path)
+                self.features.append(feat_path)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        img = read_image(self.images[index])
+        if self.transforms is not None:
+            img = self.transforms(img)
+        feature = np.load(self.features[index]).astype(np.float32)
+        return np.asarray(img), feature
+
+
 class CBIRDatasets:
     """Query/gallery pair (reference basedataset.py:463-596).
 

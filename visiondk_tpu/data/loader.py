@@ -129,7 +129,14 @@ class DataLoader:
             stop.set()
 
     def _make_batch(self, batch_idx: np.ndarray) -> Dict[str, np.ndarray]:
-        samples = [self.dataset[int(i)] for i in batch_idx]
+        from visiondk_tpu.data.transforms import seed_sample
+
+        samples = []
+        for i in batch_idx:
+            # reproducible augmentation per (seed, epoch, sample) regardless
+            # of worker-thread scheduling
+            seed_sample(self.seed, self.epoch, int(i))
+            samples.append(self.dataset[int(i)])
         batch = self.collate(samples)
         valid = len(samples)
         if valid < self.batch_size:  # pad final eval batch to static shape

@@ -32,6 +32,34 @@ from visiondk_tpu.registry import Registry
 
 AUG_METHODS = Registry("augment")
 
+# ---------------------------------------------------------------- determinism
+# Augmentations draw randomness from a thread-local RNG seeded per sample by
+# the DataLoader (seed, epoch, index) — reproducible batches regardless of
+# which worker thread handles which sample. (The reference inherits torch's
+# per-worker seeding; with thread workers the global `random` would race.)
+
+import threading
+import zlib
+
+_TLS = threading.local()
+
+
+def rng():
+    """The current thread's seeded Random (global `random` if unseeded)."""
+    return getattr(_TLS, "rng", random)
+
+
+def np_rng():
+    g = getattr(_TLS, "np_rng", None)
+    return g if g is not None else np.random.default_rng()
+
+
+def seed_sample(*parts) -> None:
+    """Deterministically seed this thread's RNGs from hashable parts."""
+    s = zlib.crc32(repr(parts).encode())
+    _TLS.rng = random.Random(s)
+    _TLS.np_rng = np.random.default_rng(s)
+
 # Transforms that alter spatial geometry — the set progressive learning and
 # GradCAM replay care about (reference transforms.py:564).
 SPATIAL_TRANSFORMS = {
@@ -84,7 +112,7 @@ class RandomChoice(Transform):
         self.p = list(p) if p is not None else None
 
     def __call__(self, img):
-        t = random.choices(self.transforms, weights=self.p, k=1)[0]
+        t = rng().choices(self.transforms, weights=self.p, k=1)[0]
         return t(img)
 
 
@@ -143,8 +171,8 @@ class RandomCrop(Transform):
         th, tw = self.size
         if w == tw and h == th:
             return img
-        left = random.randint(0, max(w - tw, 0))
-        top = random.randint(0, max(h - th, 0))
+        left = rng().randint(0, max(w - tw, 0))
+        top = rng().randint(0, max(h - th, 0))
         return img.crop((left, top, left + tw, top + th))
 
 
@@ -206,14 +234,14 @@ class RandomResizedCrop(Transform):
             return self.resize_and_padding(img)
         area = w * h
         for _ in range(10):
-            target_area = area * random.uniform(*self.scale)
+            target_area = area * rng().uniform(*self.scale)
             log_ratio = (np.log(self.ratio[0]), np.log(self.ratio[1]))
-            aspect = float(np.exp(random.uniform(*log_ratio)))
+            aspect = float(np.exp(rng().uniform(*log_ratio)))
             cw = int(round(np.sqrt(target_area * aspect)))
             ch = int(round(np.sqrt(target_area / aspect)))
             if 0 < cw <= w and 0 < ch <= h:
-                left = random.randint(0, w - cw)
-                top = random.randint(0, h - ch)
+                left = rng().randint(0, w - cw)
+                top = rng().randint(0, h - ch)
                 img2 = img.crop((left, top, left + cw, top + ch))
                 return img2.resize((self.size, self.size), Image.BILINEAR)
         return CenterCrop(min(w, h))(img).resize((self.size, self.size), Image.BILINEAR)
@@ -247,7 +275,7 @@ class RandomHorizontalFlip(Transform):
         self.p = p
 
     def __call__(self, img):
-        if random.random() < self.p:
+        if rng().random() < self.p:
             return _to_pil(img).transpose(Image.FLIP_LEFT_RIGHT)
         return _to_pil(img)
 
@@ -260,7 +288,7 @@ class RandomVerticalFlip(Transform):
         self.p = p
 
     def __call__(self, img):
-        if random.random() < self.p:
+        if rng().random() < self.p:
             return _to_pil(img).transpose(Image.FLIP_TOP_BOTTOM)
         return _to_pil(img)
 
@@ -288,7 +316,7 @@ class RandomRotate(Transform):
         self.expand = expand
 
     def __call__(self, img):
-        angle = random.uniform(-self.degrees, self.degrees)
+        angle = rng().uniform(-self.degrees, self.degrees)
         return _to_pil(img).rotate(angle, Image.BILINEAR, expand=self.expand)
 
 
@@ -308,11 +336,11 @@ class RandomColorJitter(Transform):
 
     @staticmethod
     def _factor(v):
-        return random.uniform(max(0.0, 1.0 - v), 1.0 + v)
+        return rng().uniform(max(0.0, 1.0 - v), 1.0 + v)
 
     def __call__(self, img):
         img = _to_pil(img)
-        if random.random() > self.p:
+        if rng().random() > self.p:
             return img
         ops = []
         if self.brightness:
@@ -323,12 +351,12 @@ class RandomColorJitter(Transform):
             ops.append(lambda im: ImageEnhance.Color(im).enhance(self._factor(self.saturation)))
         if self.hue:
             def _hue(im):
-                h = random.uniform(-self.hue, self.hue)
+                h = rng().uniform(-self.hue, self.hue)
                 hsv = np.array(im.convert("HSV"), dtype=np.int16)
                 hsv[..., 0] = (hsv[..., 0] + int(h * 255)) % 256
                 return Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
             ops.append(_hue)
-        random.shuffle(ops)
+        rng().shuffle(ops)
         for op in ops:
             img = op(img)
         return img
@@ -344,8 +372,8 @@ class RandomGaussianBlur(Transform):
 
     def __call__(self, img):
         img = _to_pil(img)
-        if random.random() < self.p:
-            return img.filter(ImageFilter.GaussianBlur(radius=random.uniform(0.1, self.radius)))
+        if rng().random() < self.p:
+            return img.filter(ImageFilter.GaussianBlur(radius=rng().uniform(0.1, self.radius)))
         return img
 
 
@@ -358,7 +386,7 @@ class RandomAutocontrast(Transform):
 
     def __call__(self, img):
         img = _to_pil(img)
-        return ImageOps.autocontrast(img) if random.random() < self.p else img
+        return ImageOps.autocontrast(img) if rng().random() < self.p else img
 
 
 @AUG_METHODS.register(name="random_adjustsharpness")
@@ -371,7 +399,7 @@ class RandomAdjustSharpness(Transform):
 
     def __call__(self, img):
         img = _to_pil(img)
-        if random.random() < self.p:
+        if rng().random() < self.p:
             return ImageEnhance.Sharpness(img).enhance(self.factor)
         return img
 
@@ -385,7 +413,7 @@ class RandomEqualize(Transform):
 
     def __call__(self, img):
         img = _to_pil(img)
-        return ImageOps.equalize(img) if random.random() < self.p else img
+        return ImageOps.equalize(img) if rng().random() < self.p else img
 
 
 @AUG_METHODS.register(name="random_grayscale")
@@ -397,7 +425,7 @@ class RandomGrayscale(Transform):
 
     def __call__(self, img):
         img = _to_pil(img)
-        if random.random() < self.p:
+        if rng().random() < self.p:
             return img.convert("L").convert("RGB")
         return img
 
@@ -416,7 +444,7 @@ class RandomAugMix(Transform):
 
     def _op(self, img):
         s = self.severity
-        choice = random.randrange(6)
+        choice = rng().randrange(6)
         if choice == 0:
             return ImageOps.autocontrast(img)
         if choice == 1:
@@ -424,19 +452,19 @@ class RandomAugMix(Transform):
         if choice == 2:
             return ImageOps.posterize(img, max(8 - s, 1))
         if choice == 3:
-            return img.rotate(random.uniform(-3 * s, 3 * s), Image.BILINEAR)
+            return img.rotate(rng().uniform(-3 * s, 3 * s), Image.BILINEAR)
         if choice == 4:
             return ImageOps.solarize(img, 256 - 26 * s)
-        return ImageEnhance.Sharpness(img).enhance(random.uniform(0.1, 1.9))
+        return ImageEnhance.Sharpness(img).enhance(rng().uniform(0.1, 1.9))
 
     def __call__(self, img):
         img = _to_pil(img)
-        ws = np.random.dirichlet([self.alpha] * self.width)
-        m = np.random.beta(self.alpha, self.alpha)
+        ws = np_rng().dirichlet([self.alpha] * self.width)
+        m = np_rng().beta(self.alpha, self.alpha)
         mix = np.zeros(np.array(img).shape, dtype=np.float32)
         for i in range(self.width):
             aug = img
-            for _ in range(random.randint(1, 3)):
+            for _ in range(rng().randint(1, 3)):
                 aug = self._op(aug)
             mix += ws[i] * np.asarray(aug, dtype=np.float32)
         out = (1 - m) * np.asarray(img, dtype=np.float32) + m * mix
@@ -461,15 +489,15 @@ class Cutout(Transform):
 
     def __call__(self, img):
         img = _to_pil(img)
-        if random.random() > self.prob:
+        if rng().random() > self.prob:
             return img
         arr = np.array(img)
         h, w = arr.shape[:2]
         for _ in range(self.n_holes):
-            y, x = random.randint(0, h - 1), random.randint(0, w - 1)
+            y, x = rng().randint(0, h - 1), rng().randint(0, w - 1)
             y1, y2 = max(y - self.length // 2, 0), min(y + self.length // 2, h)
             x1, x2 = max(x - self.length // 2, 0), min(x + self.length // 2, w)
-            arr[y1:y2, x1:x2] = random.randint(self.color[0], self.color[1])
+            arr[y1:y2, x1:x2] = rng().randint(self.color[0], self.color[1])
         return Image.fromarray(arr)
 
 
@@ -486,15 +514,15 @@ class CutAddNoise(Transform):
 
     def __call__(self, img):
         img = _to_pil(img)
-        if random.random() > self.prob:
+        if rng().random() > self.prob:
             return img
         arr = np.array(img)
         h, w = arr.shape[:2]
         for _ in range(self.n_holes):
-            y, x = random.randint(0, h - 1), random.randint(0, w - 1)
+            y, x = rng().randint(0, h - 1), rng().randint(0, w - 1)
             y1, y2 = max(y - self.length // 2, 0), min(y + self.length // 2, h)
             x1, x2 = max(x - self.length // 2, 0), min(x + self.length // 2, w)
-            noise = np.random.randint(0, 256, size=arr[y1:y2, x1:x2].shape, dtype=np.uint8)
+            noise = np_rng().integers(0, 256, size=arr[y1:y2, x1:x2].shape, dtype=np.uint8)
             arr[y1:y2, x1:x2] = noise
         return Image.fromarray(arr)
 
@@ -513,11 +541,11 @@ class LocalGaussian(Transform):
 
     def __call__(self, img):
         img = _to_pil(img)
-        if random.random() > self.prob:
+        if rng().random() > self.prob:
             return img
         w, h = img.size
-        x = random.randint(0, max(w - self.length, 0))
-        y = random.randint(0, max(h - self.length, 0))
+        x = rng().randint(0, max(w - self.length, 0))
+        y = rng().randint(0, max(h - self.length, 0))
         box = (x, y, min(x + self.length, w), min(y + self.length, h))
         patch = img.crop(box).filter(ImageFilter.GaussianBlur(self.radius))
         img = img.copy()

@@ -11,9 +11,17 @@ from visiondk_tpu.engine.steps import (
 from visiondk_tpu.engine.schedules import SCHEDULER, create_scheduler, momentum_schedule
 from visiondk_tpu.engine.optim import OPTIMIZER, SAMConfig, create_optimizer
 from visiondk_tpu.engine.checkpoint import CheckpointManager
+from visiondk_tpu.engine.distill import (
+    DistillCenterProcessor,
+    make_distill_step,
+    make_embed_distill_step,
+)
 
 __all__ = [
     "CenterProcessor",
+    "DistillCenterProcessor",
+    "make_distill_step",
+    "make_embed_distill_step",
     "TrainState",
     "create_train_state",
     "place_state",

@@ -62,6 +62,19 @@ class CheckpointManager:
         state = jax.tree_util.tree_map(lambda t, r: jax.numpy.asarray(r), template, restored)
         return state, meta
 
+    def restore_partial(self, name: str, template: Dict[str, Any]) -> Dict[str, Any]:
+        """Restore only the keys present in ``template`` (e.g. params/ema
+        without the optimizer state — the teacher-loading path, where the
+        saving run's optimizer is unknown)."""
+        path = self.directory / name
+        restored = self._ckptr.restore(
+            path,
+            args=ocp.args.PyTreeRestore(item=_to_host(template), partial_restore=True),
+        )
+        return jax.tree_util.tree_map(
+            lambda t, r: jax.numpy.asarray(r), template, restored
+        )
+
     def exists(self, name: str) -> bool:
         return (self.directory / name).exists()
 
