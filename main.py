@@ -30,6 +30,8 @@ def parse_opt():
                    help="mesh 'model' axis size for partial-FC head sharding")
     p.add_argument("--distill", action="store_true",
                    help="config has student/teacher sections; train with KD")
+    p.add_argument("--trace", action="store_true",
+                   help="capture a jax.profiler trace into <project>/trace")
     return p.parse_args()
 
 
@@ -57,10 +59,22 @@ def main(opt):
         )
     else:
         cp = CenterProcessor(cfgs, project=str(project), train=True, mesh=mesh, seed=opt.seed)
-    if task == "classification":
-        cp.run_classifier(resume=opt.resume)
-    else:
-        cp.run_embedding(resume=opt.resume, save_freq=opt.save_freq)
+    if opt.trace:
+        import jax
+
+        jax.profiler.start_trace(str(project / "trace"))
+    try:
+        if task == "classification":
+            cp.run_classifier(resume=opt.resume)
+        else:
+            cp.run_embedding(
+                resume=opt.resume, save_freq=opt.save_freq, print_freq=opt.print_freq
+            )
+    finally:
+        if opt.trace:
+            import jax
+
+            jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":

@@ -46,6 +46,7 @@ from visiondk_tpu.models.factory import get_model
 from visiondk_tpu.parallel.mesh import MeshContext, build_mesh
 from visiondk_tpu.utils.logger import SmartLogger
 from visiondk_tpu.utils.meters import AverageMeter
+from visiondk_tpu.utils.metrics_writer import MetricsWriter
 from visiondk_tpu.utils.plots import colorstr
 
 
@@ -143,8 +144,12 @@ class CenterProcessor:
             self.hyp_cfg["optimizer"], (list, tuple)
         ) and len(self.hyp_cfg["optimizer"]) > 1 else False
 
-        self.ckpt = CheckpointManager(self.project) if train else CheckpointManager(self.project)
+        self.ckpt = CheckpointManager(self.project)
         self._step_cache: Dict[Any, Callable] = {}
+        self.metrics_writer = (
+            MetricsWriter(self.project) if (train and primary) else None
+        )
+        self._lr_fn: Optional[Callable] = None
 
     # ------------------------------------------------------------ helpers
 
@@ -176,6 +181,7 @@ class CenterProcessor:
 
         lr_sched = lambda count: epoch_sched(to_epochs(count))
         mom_sched = lambda count: mom_sched_ep(to_epochs(count))
+        self._lr_fn = lr_sched  # host-side LR readback for metrics logging
         base = "sgd" if self.opt_name == "sam" else self.opt_name
         return create_optimizer(
             base, lr_sched, hyp["weight_decay"], mom_sched,
@@ -287,6 +293,8 @@ class CenterProcessor:
 
             train_loader.set_epoch(epoch)
             tloss = 0.0
+            epoch_t0 = time.time()
+            n_images = 0
             for i, batch in enumerate(train_loader):
                 lam = (
                     float(np.random.default_rng(self.seed * 100000 + epoch * 10000 + i).beta(
@@ -298,6 +306,8 @@ class CenterProcessor:
                 dev_batch = self._shard_batch(batch)
                 state, metrics = step(state, dev_batch, jnp.float32(lam))
                 tloss = (tloss * i + float(metrics["loss"])) / (i + 1)
+                n_images += batch["image"].shape[0]
+            epoch_secs = time.time() - epoch_t0
 
             # -- EMA validation (train.py:127-143)
             val_metrics = cls_eval.valuate(
@@ -322,7 +332,20 @@ class CenterProcessor:
                         f"{val_metrics['precision']:>12.3g}{val_metrics['recall']:>10.3g}"
                         f"{val_metrics['f1score']:>10.3g}"
                     )
-                logger.log(f"epoch:{epoch + 1} t_loss:{tloss:.4f} fitness:{fitness:.4f}")
+                logger.log(
+                    f"epoch:{epoch + 1} t_loss:{tloss:.4f} fitness:{fitness:.4f}"
+                    f" imgs/s:{n_images / max(epoch_secs, 1e-9):.1f}"
+                )
+                if self.metrics_writer is not None:
+                    w = self.metrics_writer
+                    w.add_scalar("Train_loss", tloss, epoch)
+                    w.add_scalar("Train_images_per_sec", n_images / max(epoch_secs, 1e-9), epoch)
+                    if self._lr_fn is not None:
+                        w.add_scalar("Train_lr", float(self._lr_fn(int(state.step))), epoch)
+                    for k in ("top1", "top5", "precision", "recall", "f1score", "v_loss"):
+                        if k in val_metrics:
+                            w.add_scalar(f"Val_{k}", float(val_metrics[k]), epoch)
+                    w.flush()
 
                 # -- checkpoints (vision_engine.py:386-403)
                 self.ckpt.save("last", state, epoch, max(best_fitness, fitness))
@@ -344,7 +367,9 @@ class CenterProcessor:
 
     # ------------------------------------------------------------ embedding
 
-    def run_embedding(self, resume: Optional[str] = None, save_freq: int = 1) -> Dict[str, Any]:
+    def run_embedding(
+        self, resume: Optional[str] = None, save_freq: int = 1, print_freq: int = 50
+    ) -> Dict[str, Any]:
         hyp, data_cfg = self.hyp_cfg, self.data_cfg
         epochs, warm_ep = hyp["epochs"], hyp["warm_ep"]
         logger = self.logger
@@ -384,17 +409,39 @@ class CenterProcessor:
         for epoch in range(start_epoch, epochs):
             train_loader.set_epoch(epoch)
             loss_meter.reset()
-            for batch in train_loader:
+            epoch_t0 = time.time()
+            n_images = 0
+            for i, batch in enumerate(train_loader):
                 dev_batch = self._shard_batch(batch)
                 state, metrics = step(state, dev_batch, jnp.float32(0.0))
                 loss_meter.update(float(metrics["loss"]), n=batch["image"].shape[0])
+                n_images += batch["image"].shape[0]
+                # print_freq cadence (reference train.py:235-242)
+                if primary and (i + 1) % print_freq == 0:
+                    step_count = int(state.step)
+                    lr = float(self._lr_fn(step_count)) if self._lr_fn else float("nan")
+                    logger.console(
+                        f"epoch:{epoch + 1}/{epochs} batch:{i + 1} "
+                        f"loss:{loss_meter.avg:.4f} lr:{lr:.3g}"
+                    )
+                    if self.metrics_writer is not None:
+                        self.metrics_writer.add_scalar("Train_loss", loss_meter.avg, step_count)
+                        self.metrics_writer.add_scalar("Train_lr", lr, step_count)
+            epoch_secs = time.time() - epoch_t0
             if primary:
-                logger.both(f"epoch:{epoch + 1}/{epochs} loss:{loss_meter.avg:.4f}")
+                logger.both(
+                    f"epoch:{epoch + 1}/{epochs} loss:{loss_meter.avg:.4f}"
+                    f" imgs/s:{n_images / max(epoch_secs, 1e-9):.1f}"
+                )
 
             if (epoch + 1) % save_freq == 0 or epoch == epochs - 1:
                 fitness_metrics = self._eval_embedding(embed_step, state)
                 if primary:
                     logger.both(fitness_metrics)
+                    if self.metrics_writer is not None:
+                        for k, v in fitness_metrics.items():
+                            self.metrics_writer.add_scalar(f"Val_{k}", float(v), epoch)
+                        self.metrics_writer.flush()
                     self.ckpt.save(
                         f"Epoch_{epoch + 1}", state, epoch, best_fitness,
                         extra={"fitness": {k: float(v) for k, v in fitness_metrics.items()}},
