@@ -128,6 +128,16 @@ class DataLoader:
         finally:
             stop.set()
 
+    def pad_batch(self, batch: Dict[str, np.ndarray], valid: int) -> Dict[str, np.ndarray]:
+        if valid < self.batch_size:
+            pad = self.batch_size - valid
+            batch = {
+                k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)], axis=0)
+                for k, v in batch.items()
+            }
+        batch["valid"] = np.asarray(valid, np.int32)
+        return batch
+
     def _make_batch(self, batch_idx: np.ndarray) -> Dict[str, np.ndarray]:
         from visiondk_tpu.data.transforms import seed_sample
 
@@ -138,12 +148,46 @@ class DataLoader:
             seed_sample(self.seed, self.epoch, int(i))
             samples.append(self.dataset[int(i)])
         batch = self.collate(samples)
-        valid = len(samples)
-        if valid < self.batch_size:  # pad final eval batch to static shape
-            pad = self.batch_size - valid
-            batch = {
-                k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)], axis=0)
-                for k, v in batch.items()
-            }
-        batch["valid"] = np.asarray(valid, np.int32)
-        return batch
+        # pad final eval batch to static shape
+        return self.pad_batch(batch, len(samples))
+
+
+class NativeEvalLoader:
+    """Deterministic eval/extraction loader over file paths using the C++
+    decode pipeline (csrc/dataloader): decode+letterbox a whole batch in one
+    GIL-free native call. Yields {'image': uint8 [B,H,W,3], 'keys': [...],
+    'valid': n} — the same contract as DataLoader with a keys-collate.
+
+    Use when the val pipeline is plain letterbox (transforms.is_plain_
+    letterbox) and samples are file paths; otherwise fall back to DataLoader.
+    """
+
+    def __init__(
+        self,
+        paths: List[str],
+        keys: List[Any],
+        size: int,
+        batch_size: int,
+        threads: int = 8,
+        letterbox: bool = True,
+    ):
+        from visiondk_tpu.data.native import NativeDecoder
+
+        self.paths = list(paths)
+        self.keys = list(keys)
+        self.batch_size = batch_size
+        self.decoder = NativeDecoder(size, size, threads=threads, letterbox=letterbox)
+
+    def __len__(self) -> int:
+        return -(-len(self.paths) // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        bs = self.batch_size
+        for b in range(len(self)):
+            paths = self.paths[b * bs : (b + 1) * bs]
+            keys = self.keys[b * bs : (b + 1) * bs]
+            valid = len(paths)
+            if valid < bs:  # pad to static shape
+                paths = paths + [paths[-1]] * (bs - valid)
+            images, _ = self.decoder.decode_batch(paths)
+            yield {"image": images, "keys": keys, "valid": np.asarray(valid, np.int32)}

@@ -628,6 +628,21 @@ def extract_normalization(pipeline: Compose) -> Tuple[Tuple[float, ...], Tuple[f
     return (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
 
 
+def is_plain_letterbox(pipeline: Compose) -> Optional[int]:
+    """If the pipeline is deterministic letterbox-to-square (+ to_tensor /
+    normalize markers only), return its size — the native C++ decode path can
+    then take over the whole host stage. Otherwise None."""
+    size = None
+    for t in getattr(pipeline, "transforms", []):
+        if isinstance(t, ResizeAndPadding2Square):
+            size = t.size
+        elif isinstance(t, (ToTensor, Normalize)):
+            continue
+        else:
+            return None
+    return size
+
+
 def set_pipeline_size(pipeline: Compose, size: int) -> Compose:
     """Progressive learning: rewrite all spatial sizes in a compiled pipeline
     (reference auto_prog/create_AugSequence, vision_engine.py:181-222)."""

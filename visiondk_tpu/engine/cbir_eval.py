@@ -124,17 +124,38 @@ class CBIRMetrics:
 
 
 def _extract(embed_step, state, dataset, batch_size: int):
-    """Embed a CBIRDatasets split → (embeddings [N,D] f32, keys list)."""
-    from visiondk_tpu.data.loader import DataLoader
+    """Embed a CBIRDatasets split → (embeddings [N,D] f32, keys list).
 
-    def collate(samples):
-        imgs, keys = zip(*samples)
-        return {"image": np.stack([np.asarray(i) for i in imgs]), "keys": list(keys)}
+    Fast path: when samples are local files and the pipeline is plain
+    letterbox, the C++ decode pool (csrc/dataloader) replaces the per-sample
+    PIL path entirely."""
+    from visiondk_tpu.data.loader import DataLoader, NativeEvalLoader
+    from visiondk_tpu.data.native import native_available
+    from visiondk_tpu.data.transforms import is_plain_letterbox
 
-    loader = DataLoader(
-        dataset, batch_size=batch_size, shuffle=False, drop_last=False,
-        num_workers=8, collate=collate,
-    )
+    loader = None
+    images = getattr(dataset, "images", None)
+    if (
+        native_available()
+        and images
+        and isinstance(images[0], str)
+        and getattr(dataset, "_hf_dataset", None) is None
+    ):
+        size = is_plain_letterbox(getattr(dataset, "transforms", None))
+        if size is not None:
+            loader = NativeEvalLoader(
+                images, dataset.ids, size, batch_size, threads=8
+            )
+
+    if loader is None:
+        def collate(samples):
+            imgs, keys = zip(*samples)
+            return {"image": np.stack([np.asarray(i) for i in imgs]), "keys": list(keys)}
+
+        loader = DataLoader(
+            dataset, batch_size=batch_size, shuffle=False, drop_last=False,
+            num_workers=8, collate=collate,
+        )
     feats_all, keys_all = [], []
     for batch in loader:
         valid = int(batch.get("valid", batch["image"].shape[0]))
