@@ -11,6 +11,7 @@
 // C ABI only — consumed via ctypes (no pybind11 in the image).
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -91,8 +92,10 @@ int DecodeOne(const char* path, uint8_t* out, int h, int w, int letterbox) {
   if (letterbox) {
     const double scale =
         std::min(static_cast<double>(w) / rgb.cols, static_cast<double>(h) / rgb.rows);
-    const int nw = std::max(1, static_cast<int>(rgb.cols * scale));
-    const int nh = std::max(1, static_cast<int>(rgb.rows * scale));
+    // round-half-to-even-free lround: matches the Python transform's
+    // round(w*scale) geometry (ResizeAndPadding2Square)
+    const int nw = std::max(1, std::min(w, static_cast<int>(std::lround(rgb.cols * scale))));
+    const int nh = std::max(1, std::min(h, static_cast<int>(std::lround(rgb.rows * scale))));
     cv::Mat resized;
     cv::resize(rgb, resized, cv::Size(nw, nh), 0, 0,
                scale < 1.0 ? cv::INTER_AREA : cv::INTER_LINEAR);
