@@ -1,0 +1,318 @@
+"""Fused short-sequence attention (Pallas/TPU) for vision transformers.
+
+Why not XLA or generic flash attention:
+- XLA materializes the [B, H, N, N] f32 score tensor in HBM three times per
+  layer (scores → softmax → AV read); at ViT shapes the attention core
+  measured ~4% MFU on v5e while the surrounding MLPs run at ~89%.
+- The generic pallas flash_attention op is tuned for long sequences; at
+  N≈200 its block pipeline measured 2× *slower* end-to-end than plain XLA.
+
+This kernel targets the vision regime (N ≤ 1024, head_dim 64..128): one grid
+cell per (batch, head) computes softmax(QKᵀ·scale)·V entirely in VMEM —
+scores never touch HBM. The backward kernel recomputes the probabilities
+flash-style and produces dq/dk/dv in one pass, also VMEM-resident.
+
+Layout contract: q, k, v are [B, H, N, D] with N padded to a multiple of 128
+(mask handles the tail); wrapper `vision_attention` does the padding and
+slicing and wires the custom VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _softmax_p(q, k, n_valid: int, scale: float):
+    """[H, N, N] f32 probabilities with padded keys masked out."""
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [H, N, N] batched over heads
+    n = q.shape[1]
+    if n_valid < n:  # mask padded keys
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < n_valid, s, _NEG_INF)
+    m = jnp.max(s, axis=2, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=2, keepdims=True)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int, scale: float):
+    # One grid cell = one batch element; heads ride the matmul batch dim so
+    # the MXU stream stays deep (per-(b,h) cells measured 2× slower: ~µs of
+    # fixed cost × B·H cells dominates the actual 17 MFLOP of work).
+    q = q_ref[0].astype(jnp.float32)  # [H, N, D]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    p = _softmax_p(q, k, n_valid, scale).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, n_valid: int, scale: float
+):
+    q = q_ref[0].astype(jnp.float32)  # [H, N, D]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    p = _softmax_p(q, k, n_valid, scale)  # [H, N, N]
+
+    # dv = Pᵀ dO (per head)
+    dv_ref[0] = jax.lax.dot_general(
+        p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    # dP = dO Vᵀ ; dS = P ∘ (dP − rowsum(P ∘ dP)) · scale
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(p * dp, axis=2, keepdims=True)
+    ds = p * (dp - delta) * scale
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
+def _b_spec(hb: int, n: int, d: int):
+    return pl.BlockSpec((1, hb, n, d), lambda b, g: (b, g, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _heads_per_block(h: int, n: int, live_nn_tensors: int) -> int:
+    """Largest divisor of h whose f32 [hb, n, n] working set fits VMEM."""
+    budget = 10 * 1024 * 1024  # leave headroom under the 16MB scoped limit
+    per_head = live_nn_tensors * n * n * 4
+    hb = max(1, min(h, budget // max(per_head, 1)))
+    while h % hb:
+        hb -= 1
+    return hb
+
+
+def _attn_fwd_padded(q: Array, k: Array, v: Array, n_valid: int, scale: float) -> Array:
+    b, h, n, d = q.shape
+    hb = _heads_per_block(h, n, live_nn_tensors=2)  # s/e alias, p
+    kern = functools.partial(_fwd_kernel, n_valid=n_valid, scale=scale)
+    flops = 2 * 2 * b * h * n * n * d
+    return pl.pallas_call(
+        kern,
+        grid=(b, h // hb),
+        in_specs=[_b_spec(hb, n, d)] * 3,
+        out_specs=_b_spec(hb, n, d),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=4 * b * h * n * d * 2, transcendentals=b * h * n * n
+        ),
+    )(q, k, v)
+
+
+def _attn_bwd_padded(
+    q: Array, k: Array, v: Array, do: Array, n_valid: int, scale: float
+) -> Tuple[Array, Array, Array]:
+    b, h, n, d = q.shape
+    hb = _heads_per_block(h, n, live_nn_tensors=4)  # p, dp, ds + slack
+    kern = functools.partial(_bwd_kernel, n_valid=n_valid, scale=scale)
+    return pl.pallas_call(
+        kern,
+        grid=(b, h // hb),
+        in_specs=[_b_spec(hb, n, d)] * 4,
+        out_specs=[_b_spec(hb, n, d)] * 3,
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * h * n * n * d,
+            bytes_accessed=7 * b * h * n * d * 2,
+            transcendentals=b * h * n * n,
+        ),
+    )(q, k, v, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _vision_attention_padded(q: Array, k: Array, v: Array, n_valid: int) -> Array:
+    scale = q.shape[-1] ** -0.5
+    return _attn_fwd_padded(q, k, v, n_valid, scale)
+
+
+def _vjp_fwd(q, k, v, n_valid):
+    return _vision_attention_padded(q, k, v, n_valid), (q, k, v)
+
+
+def _vjp_bwd(n_valid, res, do):
+    q, k, v = res
+    scale = q.shape[-1] ** -0.5
+    dq, dk, dv = _attn_bwd_padded(q, k, v, do, n_valid, scale)
+    return dq, dk, dv
+
+
+_vision_attention_padded.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Transpose-free fused attention: consumes the QKV projection's natural
+# [B, N, 3C] layout and emits [B, N, C]. The [B,H,N,D] transposes around the
+# attention core are full HBM passes (~45ms/step for ViT-B B=128 on v5e);
+# slicing heads from the lane dimension inside VMEM makes them free.
+# --------------------------------------------------------------------------
+
+
+def _fused_fwd_kernel(qkv_ref, o_ref, *, heads: int, head_dim: int, n_valid: int, scale: float):
+    x = qkv_ref[0]  # [N, 3C] in VMEM
+    n = x.shape[0]
+    c = heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    for h in range(heads):
+        q = x[:, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
+        k = x[:, c + h * head_dim : c + (h + 1) * head_dim].astype(jnp.float32)
+        v = x[:, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if n_valid < n:
+            s = jnp.where(col < n_valid, s, _NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v.dtype)
+        o_ref[0, :, h * head_dim : (h + 1) * head_dim] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _fused_bwd_kernel(
+    qkv_ref, do_ref, dqkv_ref, *, heads: int, head_dim: int, n_valid: int, scale: float
+):
+    x = qkv_ref[0]
+    do2 = do_ref[0]
+    n = x.shape[0]
+    c = heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    for h in range(heads):
+        q = x[:, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
+        k = x[:, c + h * head_dim : c + (h + 1) * head_dim].astype(jnp.float32)
+        v = x[:, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim].astype(jnp.float32)
+        do = do2[:, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if n_valid < n:
+            s = jnp.where(col < n_valid, s, _NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+        dv = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(p * dp, axis=1, keepdims=True)
+        ds = p * (dp - delta) * scale
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dqkv_ref[0, :, h * head_dim : (h + 1) * head_dim] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, c + h * head_dim : c + (h + 1) * head_dim] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim] = dv.astype(
+            dqkv_ref.dtype
+        )
+
+
+def _row_spec(n: int, width: int):
+    return pl.BlockSpec((1, n, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _fused_attention_padded(qkv: Array, heads: int, head_dim: int, n_valid: int) -> Array:
+    b, n, w = qkv.shape
+    c = heads * head_dim
+    scale = head_dim**-0.5
+    kern = functools.partial(
+        _fused_fwd_kernel, heads=heads, head_dim=head_dim, n_valid=n_valid, scale=scale
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[_row_spec(n, w)],
+        out_specs=_row_spec(n, c),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * heads * n * n * head_dim,
+            bytes_accessed=(b * n * w + b * n * c) * 2,
+            transcendentals=b * heads * n * n,
+        ),
+    )(qkv)
+
+
+def _fused_vjp_fwd(qkv, heads, head_dim, n_valid):
+    return _fused_attention_padded(qkv, heads, head_dim, n_valid), qkv
+
+
+def _fused_vjp_bwd(heads, head_dim, n_valid, qkv, do):
+    b, n, w = qkv.shape
+    scale = head_dim**-0.5
+    kern = functools.partial(
+        _fused_bwd_kernel, heads=heads, head_dim=head_dim, n_valid=n_valid, scale=scale
+    )
+    dqkv = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[_row_spec(n, w), _row_spec(n, heads * head_dim)],
+        out_specs=_row_spec(n, w),
+        out_shape=jax.ShapeDtypeStruct((b, n, w), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * heads * n * n * head_dim,
+            bytes_accessed=2 * (b * n * w + b * n * heads * head_dim) * 2,
+            transcendentals=b * heads * n * n,
+        ),
+    )(qkv, do)
+    return (dqkv,)
+
+
+_fused_attention_padded.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def fused_qkv_attention(qkv: Array, heads: int) -> Array:
+    """Attention straight from the QKV projection: [B, N, 3C] → [B, N, C].
+
+    No [B,H,N,D] transposes anywhere — heads are lane slices inside VMEM.
+    N is padded to a multiple of 128 internally (mask keeps semantics).
+    """
+    b, n, w = qkv.shape
+    assert w % (3 * heads) == 0, (w, heads)
+    head_dim = w // (3 * heads)
+    n_pad = _round_up(max(n, 128), 128)
+    if n_pad != n:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
+    out = _fused_attention_padded(qkv, heads, head_dim, n)
+    return out[:, :n, :] if n_pad != n else out
+
+
+def vision_attention(q: Array, k: Array, v: Array) -> Array:
+    """softmax(QKᵀ/√D)·V for [B, H, N, D] inputs (N arbitrary, D ≤ 128).
+
+    Pads N up to a multiple of 128 (ViT-B: 197 → 256), runs the fused VMEM
+    kernel, slices back. Differentiable (custom VJP, flash-style recompute).
+    """
+    b, h, n, d = q.shape
+    n_pad = _round_up(max(n, 128), 128)
+    if n_pad != n:
+        pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    out = _vision_attention_padded(q, k, v, n)
+    return out[:, :, :n, :] if n_pad != n else out
