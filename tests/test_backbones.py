@@ -1,0 +1,71 @@
+"""Model-zoo smoke tests: every registered backbone initializes, runs a
+forward pass (logits / feature / unpooled modes) with static shapes."""
+
+import numpy as np
+import pytest
+
+# (name, input size) — sizes chosen small where the architecture allows
+CASES = [
+    ("resnet18", 64),
+    ("resnet50", 64),
+    ("resnet50d", 64),
+    ("wide_resnet101_2", 64),
+    ("resnext50_32x4d", 64),
+    ("legacy_seresnet50", 64),
+    ("convnext_tiny", 64),
+    ("mobilenetv3_large_100", 64),
+    ("mobilenetv3_small_100", 64),
+    ("efficientnetv2_s", 64),
+    ("vit_small_patch16_224", 64),
+    ("swin_tiny_patch4_window7_224", 224),
+]
+
+
+@pytest.mark.parametrize("name,size", CASES)
+def test_backbone_classification_forward(name, size):
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.backbones import BACKBONES
+
+    model = BACKBONES.create(name, num_classes=7)
+    x = jnp.zeros((2, size, size, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 7)
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("name,size", [("resnet18", 64), ("mobilenetv3_small_100", 64),
+                                       ("efficientnetv2_s", 64), ("vit_small_patch16_224", 64)])
+def test_backbone_unpooled_feature_mode(name, size):
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.backbones import BACKBONES
+
+    model = BACKBONES.create(name, num_classes=0, unpooled=True)
+    x = jnp.zeros((2, size, size, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.ndim in (3, 4)  # token map or spatial map
+    assert out.shape[0] == 2
+
+
+def test_backbone_train_mode_updates_bn():
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.backbones import BACKBONES
+
+    model = BACKBONES.create("mobilenetv3_small_100", num_classes=3)
+    x = jnp.ones((2, 64, 64, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    _, new_state = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(new_state["batch_stats"])
+    delta = sum(float(jnp.abs(a - b).sum()) for a, b in zip(before, after))
+    assert delta > 0.0

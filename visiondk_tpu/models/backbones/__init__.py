@@ -11,6 +11,13 @@ from visiondk_tpu.registry import Registry
 BACKBONES = Registry("backbone")
 
 # Import for registration side effects.
-from visiondk_tpu.models.backbones import resnet, vit, convnext, swin  # noqa: E402,F401
+from visiondk_tpu.models.backbones import (  # noqa: E402,F401
+    resnet,
+    vit,
+    convnext,
+    swin,
+    mobilenet,
+    efficientnet,
+)
 
 __all__ = ["BACKBONES"]
