@@ -1,0 +1,195 @@
+"""torch→JAX weight converter tests: numeric parity of the tensor-layout
+rules (conv OIHW→HWIO, linear transpose, BN stats) and end-to-end merges for
+torchvision-ResNet / timm-ViT naming."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def test_conv_bn_linear_numeric_parity():
+    """torch functional ops vs flax modules loaded with converted tensors."""
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+    from flax import linen as nn
+
+    from visiondk_tpu.models.convert import _conv, _dense, _t
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 5, 5, 3)).astype(np.float32)  # NHWC
+    xt = torch.tensor(x.transpose(0, 3, 1, 2))  # NCHW
+
+    # conv
+    wt = torch.tensor(rng.normal(size=(4, 3, 3, 3)).astype(np.float32))
+    yt = F.conv2d(xt, wt, padding=1).numpy().transpose(0, 2, 3, 1)
+    conv = nn.Conv(4, (3, 3), padding=1, use_bias=False)
+    yj = conv.apply({"params": {"kernel": jnp.asarray(_conv(wt))}}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(yj), yt, atol=1e-5)
+
+    # batchnorm (eval mode with running stats)
+    gamma = torch.tensor(rng.normal(size=(4,)).astype(np.float32))
+    beta = torch.tensor(rng.normal(size=(4,)).astype(np.float32))
+    mean = torch.tensor(rng.normal(size=(4,)).astype(np.float32))
+    var = torch.tensor(rng.uniform(0.5, 2.0, size=(4,)).astype(np.float32))
+    zt = F.batch_norm(torch.tensor(yt.transpose(0, 3, 1, 2)), mean, var, gamma, beta, False)
+    bn = nn.BatchNorm(use_running_average=True, epsilon=1e-5)
+    zj = bn.apply(
+        {
+            "params": {"scale": jnp.asarray(_t(gamma)), "bias": jnp.asarray(_t(beta))},
+            "batch_stats": {"mean": jnp.asarray(_t(mean)), "var": jnp.asarray(_t(var))},
+        },
+        jnp.asarray(yt),
+    )
+    np.testing.assert_allclose(np.asarray(zj), zt.numpy().transpose(0, 2, 3, 1), atol=1e-4)
+
+    # linear
+    wl = torch.tensor(rng.normal(size=(7, 4)).astype(np.float32))
+    bl = torch.tensor(rng.normal(size=(7,)).astype(np.float32))
+    feats = zt.mean(dim=(2, 3))
+    lt = F.linear(feats, wl, bl).numpy()
+    dense = nn.Dense(7)
+    lj = dense.apply(
+        {"params": {"kernel": jnp.asarray(_dense(wl)), "bias": jnp.asarray(_t(bl))}},
+        jnp.asarray(feats.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(lj), lt, atol=1e-4)
+
+
+def _resnet18_state_dict(num_classes=5):
+    """Synthetic torchvision-resnet18-shaped state_dict."""
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def add_conv(name, o, i, k):
+        sd[name] = torch.tensor(rng.normal(size=(o, i, k, k)).astype(np.float32) * 0.05)
+
+    def add_bn(prefix, c):
+        for suffix, val in (
+            ("weight", np.ones(c)), ("bias", np.zeros(c)),
+            ("running_mean", np.zeros(c)), ("running_var", np.ones(c)),
+        ):
+            sd[f"{prefix}.{suffix}"] = torch.tensor(val.astype(np.float32))
+
+    add_conv("conv1.weight", 64, 3, 7)
+    add_bn("bn1", 64)
+    chans = [64, 128, 256, 512]
+    for s, c in enumerate(chans, start=1):
+        in_c = chans[s - 2] if s > 1 else 64
+        for b in range(2):
+            cin = in_c if b == 0 else c
+            add_conv(f"layer{s}.{b}.conv1.weight", c, cin, 3)
+            add_bn(f"layer{s}.{b}.bn1", c)
+            add_conv(f"layer{s}.{b}.conv2.weight", c, c, 3)
+            add_bn(f"layer{s}.{b}.bn2", c)
+            if b == 0 and s > 1:
+                add_conv(f"layer{s}.{b}.downsample.0.weight", c, cin, 1)
+                add_bn(f"layer{s}.{b}.downsample.1", c)
+    sd["fc.weight"] = torch.tensor(rng.normal(size=(num_classes, 512)).astype(np.float32) * 0.05)
+    sd["fc.bias"] = torch.tensor(np.zeros(num_classes, np.float32))
+    return sd
+
+
+def test_resnet18_convert_and_merge():
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.backbones import BACKBONES
+    from visiondk_tpu.models.convert import convert_state_dict, merge_converted
+
+    sd = _resnet18_state_dict()
+    converted = convert_state_dict(sd, "resnet18")
+
+    model = BACKBONES.create("resnet18", num_classes=5)
+    variables = model.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3)), train=False)
+
+    class Log:
+        msg = ""
+
+        def both(self, m):
+            Log.msg = m
+
+    new_params, new_bs = merge_converted(
+        variables["params"], variables["batch_stats"], converted, logger=Log()
+    )
+    assert "skipped 0 " in Log.msg, Log.msg
+    # forward runs with the merged weights
+    out = model.apply(
+        {"params": new_params, "batch_stats": new_bs},
+        jnp.ones((1, 64, 64, 3)), train=False,
+    )
+    assert out.shape == (1, 5)
+    assert np.isfinite(np.asarray(out)).all()
+    # fc weights actually landed
+    np.testing.assert_allclose(
+        np.asarray(new_params["fc"]["kernel"]), sd["fc.weight"].numpy().T, atol=1e-6
+    )
+
+
+def test_vit_convert_and_merge():
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.backbones.vit import VisionTransformer
+    from visiondk_tpu.models.convert import convert_state_dict, merge_converted
+
+    rng = np.random.default_rng(0)
+    C, H, depth, P, n_cls = 64, 2, 2, 16, 3
+    N = (32 // P) ** 2 + 1
+    sd = {
+        "cls_token": torch.tensor(rng.normal(size=(1, 1, C)).astype(np.float32)),
+        "pos_embed": torch.tensor(rng.normal(size=(1, N, C)).astype(np.float32)),
+        "patch_embed.proj.weight": torch.tensor(rng.normal(size=(C, 3, P, P)).astype(np.float32)),
+        "patch_embed.proj.bias": torch.tensor(np.zeros(C, np.float32)),
+        "norm.weight": torch.tensor(np.ones(C, np.float32)),
+        "norm.bias": torch.tensor(np.zeros(C, np.float32)),
+        "head.weight": torch.tensor(rng.normal(size=(n_cls, C)).astype(np.float32)),
+        "head.bias": torch.tensor(np.zeros(n_cls, np.float32)),
+    }
+    for i in range(depth):
+        for ln in ("norm1", "norm2"):
+            sd[f"blocks.{i}.{ln}.weight"] = torch.tensor(np.ones(C, np.float32))
+            sd[f"blocks.{i}.{ln}.bias"] = torch.tensor(np.zeros(C, np.float32))
+        sd[f"blocks.{i}.attn.qkv.weight"] = torch.tensor(rng.normal(size=(3 * C, C)).astype(np.float32))
+        sd[f"blocks.{i}.attn.qkv.bias"] = torch.tensor(np.zeros(3 * C, np.float32))
+        sd[f"blocks.{i}.attn.proj.weight"] = torch.tensor(rng.normal(size=(C, C)).astype(np.float32))
+        sd[f"blocks.{i}.attn.proj.bias"] = torch.tensor(np.zeros(C, np.float32))
+        sd[f"blocks.{i}.mlp.fc1.weight"] = torch.tensor(rng.normal(size=(4 * C, C)).astype(np.float32))
+        sd[f"blocks.{i}.mlp.fc1.bias"] = torch.tensor(np.zeros(4 * C, np.float32))
+        sd[f"blocks.{i}.mlp.fc2.weight"] = torch.tensor(rng.normal(size=(C, 4 * C)).astype(np.float32))
+        sd[f"blocks.{i}.mlp.fc2.bias"] = torch.tensor(np.zeros(C, np.float32))
+
+    converted = convert_state_dict(sd, "vit_tiny_test")
+    model = VisionTransformer(
+        patch_size=P, embed_dim=C, depth=depth, num_heads=H, num_classes=n_cls
+    )
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, 32, 32, 3)), train=False,
+    )
+
+    class Log:
+        msg = ""
+
+        def both(self, m):
+            Log.msg = m
+
+    new_params, _ = merge_converted(variables["params"], {}, converted, logger=Log())
+    assert "skipped 0 " in Log.msg, Log.msg
+    out = model.apply({"params": new_params}, jnp.ones((1, 32, 32, 3)), train=False)
+    assert out.shape == (1, n_cls)
+
+
+def test_npz_roundtrip(tmp_path):
+    from visiondk_tpu.models.convert import convert_state_dict, load_converted, save_converted
+
+    sd = _resnet18_state_dict()
+    converted = convert_state_dict(sd, "resnet18")
+    p = str(tmp_path / "w.npz")
+    save_converted(converted, p)
+    loaded = load_converted(p)
+    assert set(loaded) == set(converted)
+    assert set(loaded["params"]) == set(converted["params"])
+    np.testing.assert_array_equal(
+        loaded["params"]["stem_conv/kernel"], converted["params"]["stem_conv/kernel"]
+    )

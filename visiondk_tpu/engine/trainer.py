@@ -246,6 +246,8 @@ class CenterProcessor:
                 logger.both(f"resume: {resume} (epoch {start_epoch})")
         elif self.model_cfg.get("load_from"):
             state = self._apply_load_from(state, self.model_cfg["load_from"])
+        if not resume and self.model_cfg.get("convert_npz"):
+            state = self._apply_convert_npz(state, self.model_cfg["convert_npz"])
 
         num_classes = self.model_cfg["num_classes"]
         lossfn = self.lossfn
@@ -401,6 +403,8 @@ class CenterProcessor:
                 logger.both(f"resume: {resume} (epoch {start_epoch})")
         elif self.model_cfg.get("load_from"):
             state = self._apply_load_from(state, self.model_cfg["load_from"])
+        if not resume and self.model_cfg.get("convert_npz"):
+            state = self._apply_convert_npz(state, self.model_cfg["convert_npz"])
 
         step = self._get_train_step(tx, ("embed", False), self.lossfn, mixup=False)
         loss_meter = AverageMeter()
@@ -472,6 +476,28 @@ class CenterProcessor:
         )
 
     # ------------------------------------------------------------ load_from
+
+    def _apply_convert_npz(self, state: TrainState, path: str) -> TrainState:
+        """Initialize from a torch-converted .npz (tools/convert_torch_weights)
+        — the framework's pretrained-weights path (reference uses timm
+        downloads, classify_model.py:37-54)."""
+        from visiondk_tpu.models.convert import load_converted, merge_converted
+        from visiondk_tpu.models.ema import init_ema
+
+        converted = load_converted(path)
+        # backbone-only checkpoints land under the backbone submodule
+        prefix = "backbone/" if "backbone" in state.params else ""
+        params, bstats = merge_converted(
+            state.params, state.batch_stats, converted,
+            logger=self.logger if self.mesh.is_primary() else None,
+            strip_prefix=prefix,
+        )
+        return state.replace(
+            params=params,
+            batch_stats=bstats,
+            ema_params=init_ema(params),
+            ema_batch_stats=init_ema(bstats),
+        )
 
     def _apply_load_from(self, state: TrainState, path: str) -> TrainState:
         tmp_mgr = CheckpointManager(Path(path).parent)
