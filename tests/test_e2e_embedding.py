@@ -1,0 +1,155 @@
+"""End-to-end embedding-task slices: face (pair verification) and CBIR
+(retrieval eval) training through CenterProcessor.run_embedding on the
+virtual 8-device CPU mesh — SURVEY §7 stage 7 coverage."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+SIZE = 32
+N_IDS = 4
+
+
+def _id_color(i):
+    # well-separated colors so a tiny model can embed them apart
+    return [(220, 40, 40), (40, 220, 40), (40, 40, 220), (220, 220, 40)][i]
+
+
+def _write_img(path, base, rng):
+    arr = np.clip(rng.normal(base, 20, size=(SIZE, SIZE, 3)), 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture(scope="module")
+def face_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("face")
+    rng = np.random.default_rng(0)
+    for i in range(N_IDS):
+        d = root / "train" / f"id{i}"
+        d.mkdir(parents=True)
+        for n in range(16):
+            _write_img(d / f"{n}.png", _id_color(i), rng)
+    val = root / "val"
+    val.mkdir()
+    names = []
+    for i in range(N_IDS):
+        for n in range(2):
+            name = f"id{i}_{n}.png"
+            _write_img(val / name, _id_color(i), rng)
+            names.append((name, i))
+    # 20 pairs (multiple of 10): 10 positive, 10 negative
+    pairs = []
+    prng = np.random.default_rng(1)
+    while len(pairs) < 10:
+        i = int(prng.integers(N_IDS))
+        pairs.append((f"id{i}_0.png", f"id{i}_1.png", 1))
+    while len(pairs) < 20:
+        i, j = prng.integers(N_IDS, size=2)
+        if i != j:
+            pairs.append((f"id{i}_0.png", f"id{j}_1.png", 0))
+    with open(root / "pairs.txt", "w") as f:
+        for a, b, l in pairs:
+            f.write(f"{a} {b} {l}\n")
+    return root
+
+
+def _embed_cfgs(root, task, extra_val=None):
+    aug_tail = [
+        {"resize_and_padding": {"size": SIZE, "training": False}},
+        {"to_tensor": "no_params"},
+        {"normalize": {"mean": [0.485, 0.456, 0.406], "std": [0.229, 0.224, 0.225]}},
+    ]
+    val = {"bs": 16, "augment": aug_tail}
+    if extra_val:
+        val.update(extra_val)
+    return {
+        "model": {
+            "task": task,
+            "load_from": None,
+            "backbone": {"resnet18": {"feat_dim": 16, "image_size": SIZE}},
+            "head": {
+                "arcface": {
+                    "feat_dim": 16,
+                    "num_class": N_IDS,
+                    "margin_arc": 0.35,
+                    "margin_am": 0.0,
+                    "scale": 32,
+                }
+            },
+        },
+        "data": {
+            "root": str(root),
+            "nw": 2,
+            "train": {
+                "bs": 16,
+                "augment": [{"random_horizonflip": {"p": 0.5}}] + aug_tail,
+                "aug_epoch": 999,
+            },
+            "val": val,
+        },
+        "hyp": {
+            "epochs": 3,
+            "lr0": 0.02,
+            "lrf_ratio": None,
+            "momentum": 0.9,
+            "weight_decay": 0.0005,
+            "warmup_momentum": 0.8,
+            "warm_ep": 1,
+            "label_smooth": 0.0,
+            "loss": {"ce": True},
+            "optimizer": ["sgd", False],
+            "scheduler": "cosine_with_warm",
+        },
+    }
+
+
+def test_face_training_and_pair_eval(face_root, tmp_path, mesh8):
+    import jax.numpy as jnp
+
+    from visiondk_tpu.engine import CenterProcessor
+
+    cfgs = _embed_cfgs(face_root, "face", extra_val={"pair_txt": str(face_root / "pairs.txt")})
+    cp = CenterProcessor(
+        cfgs, project=str(tmp_path / "face_run"), train=True, mesh=mesh8,
+        compute_dtype=jnp.float32,
+    )
+    metrics = cp.run_embedding(save_freq=3)
+    assert 0.0 <= metrics["mean"] <= 1.0
+    assert metrics["mean"] >= 0.8, metrics  # trivially separable identities
+    assert (tmp_path / "face_run" / "Epoch_3").exists()
+    assert (tmp_path / "face_run" / "metrics.jsonl").exists()
+
+
+@pytest.fixture(scope="module")
+def cbir_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cbir")
+    rng = np.random.default_rng(0)
+    for i in range(N_IDS):
+        d = root / "train" / f"id{i}"
+        d.mkdir(parents=True)
+        for n in range(16):
+            _write_img(d / f"{n}.png", _id_color(i), rng)
+        for split, count in (("query", 1), ("gallery", 3)):
+            d = root / split / f"id{i}"
+            d.mkdir(parents=True)
+            for n in range(count):
+                _write_img(d / f"{n}.png", _id_color(i), rng)
+    return root
+
+
+def test_cbir_training_and_retrieval_eval(cbir_root, tmp_path, mesh8):
+    import jax.numpy as jnp
+
+    from visiondk_tpu.engine import CenterProcessor
+
+    cfgs = _embed_cfgs(cbir_root, "cbir")
+    cp = CenterProcessor(
+        cfgs, project=str(tmp_path / "cbir_run"), train=True, mesh=mesh8,
+        compute_dtype=jnp.float32,
+    )
+    metrics = cp.run_embedding(save_freq=3)
+    assert "MRR@1" in metrics, metrics
+    recall_keys = sorted(k for k in metrics if k.startswith("Recall"))
+    assert recall_keys, metrics
+    assert metrics[recall_keys[-1]] >= 0.5, metrics
+    assert metrics["MRR@1"] >= 0.5, metrics

@@ -27,7 +27,9 @@ class SmartDataProcessor:
         project: Optional[str] = None,
         rank_is_primary: bool = True,
         training: bool = True,
+        task: str = "classification",
     ):
+        self.task = task
         self.data_cfg = data_cfg
         self.root = data_cfg["root"]
         self.project = project
@@ -46,11 +48,13 @@ class SmartDataProcessor:
             transforms=ClassWiseAugmenter(train_aug, class_aug_cfg, base_aug_cfg),
             project=project, rank_is_primary=rank_is_primary, training=training,
         ) if training else None
+        # Embedding tasks evaluate from pair_txt / query+gallery, not a val
+        # class tree (reference vision_engine.py:456: no val dataloader).
         self.val_dataset = ImageDatasets(
             self.root, "val",
             transforms=ClassWiseAugmenter(val_aug, None, None),
             project=project, rank_is_primary=rank_is_primary, training=training,
-        )
+        ) if task == "classification" else None
 
     # ------------------------------------------------------ augment control
 

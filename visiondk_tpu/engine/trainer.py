@@ -89,7 +89,7 @@ class CenterProcessor:
         # data
         self.data_processor = SmartDataProcessor(
             self.data_cfg, project=str(self.project),
-            rank_is_primary=primary, training=train,
+            rank_is_primary=primary, training=train, task=self.task,
         )
         self.imgsz = get_imgsz(self.data_cfg["val"]["augment"])
 

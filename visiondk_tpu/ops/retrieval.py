@@ -64,9 +64,12 @@ def make_sharded_search(mesh: Mesh, k: int, compute_dtype=jnp.bfloat16):
     n_shards = mesh.shape["data"]
 
     def _local_search(q, g_local):
-        # g_local: [G/n, D] — this device's shard.
+        # g_local: [G/n, D] — this device's shard. A tiny gallery can shard
+        # below k rows; the merged n·k_local candidates still cover global k
+        # because search() clamps k ≤ total gallery size.
         shard_id = jax.lax.axis_index("data")
-        local_scores, local_idx = topk_ip(q, g_local, k, compute_dtype)
+        k_local = min(k, g_local.shape[0])
+        local_scores, local_idx = topk_ip(q, g_local, k_local, compute_dtype)
         g_per = g_local.shape[0]
         global_idx = local_idx + shard_id * g_per
         # All-gather candidates along the data axis → [n, Q, k] → [Q, n*k].
