@@ -1,0 +1,143 @@
+"""Strategy-knob tests: SAM, mixup, layer-wise LR, progressive resize."""
+
+import numpy as np
+import pytest
+
+
+def test_sam_perturb_matches_reference_formula():
+    """e(w) = rho * |w|*g / ||w*g|| elementwise with w^2 factor (adaptive SAM,
+    reference engine/optimizer.py:44-56)."""
+    import jax.numpy as jnp
+
+    from visiondk_tpu.engine.optim import SAMConfig, sam_perturb
+
+    rng = np.random.default_rng(0)
+    params = {"a": jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32)),
+              "b": jnp.asarray(rng.normal(size=(5,)).astype(np.float32))}
+    grads = {"a": jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32)),
+             "b": jnp.asarray(rng.normal(size=(5,)).astype(np.float32))}
+    cfg = SAMConfig(rho=0.05, adaptive=True)
+    out = sam_perturb(params, grads, cfg)
+
+    pa, ga = np.asarray(params["a"]), np.asarray(grads["a"])
+    pb, gb = np.asarray(params["b"]), np.asarray(grads["b"])
+    norm = np.sqrt((np.abs(pa) * ga).__pow__(2).sum() + (np.abs(pb) * gb).__pow__(2).sum())
+    expect_a = pa + (pa**2) * ga * (0.05 / (norm + 1e-12))
+    np.testing.assert_allclose(np.asarray(out["a"]), expect_a, rtol=1e-5)
+
+
+def test_sam_step_trains():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from visiondk_tpu.engine.optim import SAMConfig
+    from visiondk_tpu.engine.state import create_train_state
+    from visiondk_tpu.engine.steps import StepConfig, make_train_step
+    from visiondk_tpu.losses import create_lossfn
+    from visiondk_tpu.models.factory import VisionModel
+
+    model = VisionModel(backbone_name="resnet18", num_classes=2)
+    rng = jax.random.key(0)
+    x = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": rng}, x, train=False)
+    tx = optax.sgd(0.05, momentum=0.9)
+    state = create_train_state(variables, tx)
+    step = make_train_step(
+        model, tx, create_lossfn("ce"),
+        StepConfig(sam=SAMConfig()), jax.random.key(1),
+    )
+    data = np.random.default_rng(0)
+    images = (data.normal([[200, 40, 40]], 25, size=(8, 32, 32, 3))).clip(0, 255).astype(np.uint8)
+    images[4:] = (data.normal([[40, 40, 200]], 25, size=(4, 32, 32, 3))).clip(0, 255).astype(np.uint8)
+    labels = np.array([0, 0, 0, 0, 1, 1, 1, 1], np.int32)
+    batch = {"image": jnp.asarray(images), "label": jnp.asarray(labels)}
+    losses = []
+    for _ in range(15):
+        state, m = step(state, batch, jnp.float32(0.0))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_mixup_loss_matches_manual():
+    """Step loss with mixup λ equals λ·CE(y) + (1−λ)·CE(y_perm) given the
+    step's deterministic permutation RNG."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from visiondk_tpu.engine.state import create_train_state
+    from visiondk_tpu.engine.steps import StepConfig, device_preprocess, make_train_step
+    from visiondk_tpu.losses import create_lossfn
+    from visiondk_tpu.models.factory import VisionModel
+
+    model = VisionModel(backbone_name="resnet18", num_classes=3)
+    rng = jax.random.key(0)
+    x = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": rng}, x, train=False)
+    tx = optax.sgd(0.0)  # lr 0: params unchanged → comparable forward
+    state = create_train_state(variables, tx)
+    lossfn = create_lossfn("ce")
+    base_rng = jax.random.key(7)
+    cfg = StepConfig(mixup=True)
+    step = make_train_step(model, tx, lossfn, cfg, base_rng, donate=False)
+
+    data = np.random.default_rng(0)
+    images = data.integers(0, 255, (8, 32, 32, 3)).astype(np.uint8)
+    labels = data.integers(0, 3, (8,)).astype(np.int32)
+    batch = {"image": jnp.asarray(images), "label": jnp.asarray(labels)}
+    lam = 0.3
+    _, metrics = step(state, batch, jnp.float32(lam))
+
+    # manual recomputation with the same fold_in(0) permutation
+    perm_rng, _ = jax.random.split(jax.random.fold_in(base_rng, 0))
+    perm = jax.random.permutation(perm_rng, 8)
+    ims = device_preprocess(batch["image"], cfg.mean, cfg.std)
+    mixed = lam * ims + (1 - lam) * jnp.take(ims, perm, axis=0)
+    logits, _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        mixed, train=True, mutable=["batch_stats"],
+    )
+    expect = lam * lossfn(logits, batch["label"], None) + (1 - lam) * lossfn(
+        logits, jnp.take(batch["label"], perm, axis=0), None
+    )
+    np.testing.assert_allclose(float(metrics["loss"]), float(expect), rtol=1e-5)
+
+
+def test_layer_wise_lr_head_multiplier():
+    import jax.numpy as jnp
+    import optax
+
+    from visiondk_tpu.engine.optim import create_optimizer
+
+    params = {
+        "backbone": {"w": jnp.ones((4, 4))},
+        "head": {"w": jnp.ones((4, 4))},
+    }
+    tx = create_optimizer(
+        "sgd", lambda c: 0.1, 0.0, lambda c: 0.0, layer_wise_lr=True
+    )
+    opt_state = tx.init(params)
+    grads = {"backbone": {"w": jnp.ones((4, 4))}, "head": {"w": jnp.ones((4, 4))}}
+    updates, _ = tx.update(grads, opt_state, params)
+    bb = float(np.asarray(updates["backbone"]["w"]).mean())
+    hd = float(np.asarray(updates["head"]["w"]).mean())
+    assert abs(hd / bb - 10.0) < 1e-4, (bb, hd)
+
+
+def test_progressive_resize_rewrites_pipeline():
+    from PIL import Image
+
+    from visiondk_tpu.data.transforms import create_aug_transforms, set_pipeline_size
+
+    pipe = create_aug_transforms([
+        {"random_choice": {"transforms": [
+            {"resize_and_padding": {"size": 64}},
+            {"random_crop_and_resize": {"size": 64}},
+        ]}},
+        {"to_tensor": "no_params"},
+    ])
+    set_pipeline_size(pipe, 32)
+    img = Image.fromarray(np.zeros((80, 60, 3), np.uint8))
+    out = np.asarray(pipe(img))
+    assert out.shape[:2] == (32, 32)

@@ -158,10 +158,11 @@ def make_train_step(
         (loss, new_bs), grads = grad_fn(state.params, True)
 
         if cfg.sam is not None:
-            # Climb to w+e(w), recompute grads with BN stats frozen
-            # (reference update_sam: second fwd/bwd with running stats off).
+            # Climb to w+e(w), recompute grads; the second pass's BN stat
+            # updates are discarded — running stats stay frozen at the clean
+            # pass's values (reference update_sam, train.py:161-173).
             perturbed = sam_perturb(state.params, grads, cfg.sam)
-            (_, _), grads = grad_fn(perturbed, False)
+            (_, _), grads = grad_fn(perturbed, True)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
