@@ -32,13 +32,18 @@ def parse_opt():
                    help="config has student/teacher sections; train with KD")
     p.add_argument("--trace", action="store_true",
                    help="capture a jax.profiler trace into <project>/trace")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-host TPU pod)")
     return p.parse_args()
 
 
 def main(opt):
     from visiondk_tpu.config import yaml_load, check, increment_path
     from visiondk_tpu.engine import CenterProcessor, DistillCenterProcessor
-    from visiondk_tpu.parallel import build_mesh
+    from visiondk_tpu.parallel import build_mesh, initialize_distributed
+
+    if opt.multihost:
+        initialize_distributed()
 
     cfgs = yaml_load(opt.cfgs)
     main_cfg = cfgs["student"] if opt.distill else cfgs

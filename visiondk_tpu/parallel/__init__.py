@@ -1,6 +1,7 @@
 from visiondk_tpu.parallel.mesh import (
     MeshContext,
     build_mesh,
+    initialize_distributed,
     batch_sharding,
     replicated,
     shard_batch,
@@ -10,6 +11,7 @@ from visiondk_tpu.parallel.mesh import (
 __all__ = [
     "MeshContext",
     "build_mesh",
+    "initialize_distributed",
     "batch_sharding",
     "replicated",
     "shard_batch",

@@ -102,3 +102,26 @@ def shard_batch(ctx: MeshContext, batch):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: the torchrun/init_process_group analogue
+    (reference main.py:15-16,37-40). On TPU pods ``jax.distributed
+    .initialize()`` auto-discovers the coordinator from the TPU metadata, so
+    all arguments are optional; non-TPU clusters pass them explicitly.
+
+    Idempotent: safe to call when already initialized or single-process.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        # already initialized, or single-process with no coordinator info
+        pass
