@@ -170,69 +170,80 @@ _vision_attention_padded.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def _fused_fwd_kernel(qkv_ref, o_ref, *, heads: int, head_dim: int, n_valid: int, scale: float):
-    x = qkv_ref[0]  # [N, 3C] in VMEM
-    n = x.shape[0]
+    x = qkv_ref[...]  # [R, N, 3C] in VMEM (R batch rows per cell)
+    n = x.shape[1]
     c = heads * head_dim
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], n, n), 2)
     for h in range(heads):
-        q = x[:, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
-        k = x[:, c + h * head_dim : c + (h + 1) * head_dim].astype(jnp.float32)
-        v = x[:, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim]
+        q = x[:, :, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
+        k = x[:, :, c + h * head_dim : c + (h + 1) * head_dim].astype(jnp.float32)
+        v = x[:, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ) * scale
         if n_valid < n:
             s = jnp.where(col < n_valid, s, _NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
+        m = jnp.max(s, axis=2, keepdims=True)
         e = jnp.exp(s - m)
-        p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v.dtype)
-        o_ref[0, :, h * head_dim : (h + 1) * head_dim] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32
+        p = (e / jnp.sum(e, axis=2, keepdims=True)).astype(v.dtype)
+        o_ref[:, :, h * head_dim : (h + 1) * head_dim] = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
 
 
 def _fused_bwd_kernel(
     qkv_ref, do_ref, dqkv_ref, *, heads: int, head_dim: int, n_valid: int, scale: float
 ):
-    x = qkv_ref[0]
-    do2 = do_ref[0]
-    n = x.shape[0]
+    x = qkv_ref[...]  # [R, N, 3C]
+    do3 = do_ref[...]
+    n = x.shape[1]
     c = heads * head_dim
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], n, n), 2)
     for h in range(heads):
-        q = x[:, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
-        k = x[:, c + h * head_dim : c + (h + 1) * head_dim].astype(jnp.float32)
-        v = x[:, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim].astype(jnp.float32)
-        do = do2[:, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
+        q = x[:, :, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
+        k = x[:, :, c + h * head_dim : c + (h + 1) * head_dim].astype(jnp.float32)
+        v = x[:, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim].astype(jnp.float32)
+        do = do3[:, :, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ) * scale
         if n_valid < n:
             s = jnp.where(col < n_valid, s, _NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
+        m = jnp.max(s, axis=2, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=1, keepdims=True)
+        p = e / jnp.sum(e, axis=2, keepdims=True)
         dv = jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        delta = jnp.sum(p * dp, axis=1, keepdims=True)
+        delta = jnp.sum(p * dp, axis=2, keepdims=True)
         ds = p * (dp - delta) * scale
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        dqkv_ref[0, :, h * head_dim : (h + 1) * head_dim] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, c + h * head_dim : c + (h + 1) * head_dim] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim] = dv.astype(
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dqkv_ref[:, :, h * head_dim : (h + 1) * head_dim] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, c + h * head_dim : c + (h + 1) * head_dim] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim] = dv.astype(
             dqkv_ref.dtype
         )
 
 
-def _row_spec(n: int, width: int):
-    return pl.BlockSpec((1, n, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+def _row_spec(n: int, width: int, rows: int = 1):
+    return pl.BlockSpec((rows, n, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _rows_per_cell(b: int) -> int:
+    # 2 batch rows per grid cell amortizes per-cell overhead (measured best
+    # of 1/2/4 on v5e at ViT-B shapes); fall back to 1 for odd batches.
+    return 2 if b % 2 == 0 else 1
+
+
+_PARALLEL = pltpu.CompilerParams(dimension_semantics=("parallel",))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -240,15 +251,17 @@ def _fused_attention_padded(qkv: Array, heads: int, head_dim: int, n_valid: int)
     b, n, w = qkv.shape
     c = heads * head_dim
     scale = head_dim**-0.5
+    rows = _rows_per_cell(b)
     kern = functools.partial(
         _fused_fwd_kernel, heads=heads, head_dim=head_dim, n_valid=n_valid, scale=scale
     )
     return pl.pallas_call(
         kern,
-        grid=(b,),
-        in_specs=[_row_spec(n, w)],
-        out_specs=_row_spec(n, c),
+        grid=(b // rows,),
+        in_specs=[_row_spec(n, w, rows)],
+        out_specs=_row_spec(n, c, rows),
         out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        compiler_params=_PARALLEL,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * heads * n * n * head_dim,
             bytes_accessed=(b * n * w + b * n * c) * 2,
@@ -264,15 +277,18 @@ def _fused_vjp_fwd(qkv, heads, head_dim, n_valid):
 def _fused_vjp_bwd(heads, head_dim, n_valid, qkv, do):
     b, n, w = qkv.shape
     scale = head_dim**-0.5
+    # bwd holds ~4 f32 [R·n, n] intermediates per head — keep R=1 under VMEM
+    rows = 1
     kern = functools.partial(
         _fused_bwd_kernel, heads=heads, head_dim=head_dim, n_valid=n_valid, scale=scale
     )
     dqkv = pl.pallas_call(
         kern,
-        grid=(b,),
-        in_specs=[_row_spec(n, w), _row_spec(n, heads * head_dim)],
-        out_specs=_row_spec(n, w),
+        grid=(b // rows,),
+        in_specs=[_row_spec(n, w, rows), _row_spec(n, heads * head_dim, rows)],
+        out_specs=_row_spec(n, w, rows),
         out_shape=jax.ShapeDtypeStruct((b, n, w), qkv.dtype),
+        compiler_params=_PARALLEL,
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * b * heads * n * n * head_dim,
             bytes_accessed=2 * (b * n * w + b * n * heads * head_dim) * 2,
