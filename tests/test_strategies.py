@@ -141,3 +141,49 @@ def test_progressive_resize_rewrites_pipeline():
     img = Image.fromarray(np.zeros((80, 60, 3), np.uint8))
     out = np.asarray(pipe(img))
     assert out.shape[:2] == (32, 32)
+
+
+def test_backbone_freeze_masks_updates():
+    """backbone_freeze: only classifier ('fc') params receive updates."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.engine.optim import create_optimizer
+    from visiondk_tpu.models.backbones import BACKBONES
+
+    model = BACKBONES.create("resnet18", num_classes=2)
+    variables = model.init({"params": jax.random.key(0)}, jnp.zeros((1, 32, 32, 3)), train=False)
+    params = variables["params"]
+    tx = create_optimizer(
+        "sgd", lambda c: 0.1, 0.0, lambda c: 0.0, backbone_freeze=True
+    )
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p), params)
+    updates, _ = tx.update(grads, state, params)
+    flat = jax.tree_util.tree_flatten_with_path(updates)[0]
+    for path, leaf in flat:
+        parts = [str(getattr(p, "key", "")) for p in path]
+        moved = float(jnp.abs(leaf).sum())
+        if "fc" in parts:
+            assert moved > 0, parts
+        else:
+            assert moved == 0, parts
+
+
+def test_bn_freeze_keeps_running_stats():
+    """bn_freeze: BN uses running stats in train mode and never updates them."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.factory import get_model
+
+    cfg = {"task": "classification", "name": "resnet18", "num_classes": 2,
+           "kwargs": {}, "bn_freeze": True}
+    model = get_model(cfg)
+    x = jnp.ones((2, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    out, new_state = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(new_state.get("batch_stats", {}))
+    delta = sum(float(jnp.abs(a - b).sum()) for a, b in zip(before, after)) if after else 0.0
+    assert delta == 0.0

@@ -144,6 +144,50 @@ def sam_perturb(params: Any, grads: Any, cfg: SAMConfig) -> Any:
     return jax.tree_util.tree_map(_e, params, grads)
 
 
+_HEAD_KEYS = ("fc", "head", "pool", "neck", "pre_head")
+
+
+def freeze_mask(
+    backbone_freeze: bool = False,
+    bn_freeze_affine: bool = False,
+    head_keys=_HEAD_KEYS,
+) -> Callable:
+    """Param label fn for optax.multi_transform: 'frozen' params get zero
+    updates — the functional requires_grad_(False) (reference
+    classify_model.py:83-102: freeze all-but-classifier; BN affine freeze)."""
+
+    def labels(params):
+        def label(path, leaf):
+            parts = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+            if backbone_freeze and not any(p in head_keys for p in parts):
+                return "frozen"
+            if (
+                bn_freeze_affine
+                and len(parts) >= 2
+                and "bn" in parts[-2]
+                and parts[-1] in ("scale", "bias")
+            ):
+                return "frozen"
+            return "train"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return labels
+
+
+def with_freeze(
+    tx: optax.GradientTransformation,
+    backbone_freeze: bool,
+    bn_freeze_affine: bool,
+) -> optax.GradientTransformation:
+    if not (backbone_freeze or bn_freeze_affine):
+        return tx
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()},
+        freeze_mask(backbone_freeze, bn_freeze_affine),
+    )
+
+
 def create_optimizer(
     name: str,
     lr_schedule: Callable,
@@ -152,8 +196,10 @@ def create_optimizer(
     params_example: Optional[Any] = None,
     layer_wise_lr: bool = False,
     head_multiplier: float = 10.0,
+    backbone_freeze: bool = False,
+    bn_freeze_affine: bool = False,
 ) -> optax.GradientTransformation:
-    """create_Optimizer parity (engine/optimizer.py:131-137) + clip."""
+    """create_Optimizer parity (engine/optimizer.py:131-137) + clip + freezes."""
     if layer_wise_lr:
         factory = lambda sched: OPTIMIZER.create(
             name, sched, weight_decay, momentum_schedule
@@ -161,6 +207,7 @@ def create_optimizer(
         tx = layer_wise(factory, lr_schedule, params_example, head_multiplier)
     else:
         tx = OPTIMIZER.create(name, lr_schedule, weight_decay, momentum_schedule)
+    tx = with_freeze(tx, backbone_freeze, bn_freeze_affine)
     return with_grad_clip(tx)
 
 

@@ -186,6 +186,8 @@ class CenterProcessor:
         return create_optimizer(
             base, lr_sched, hyp["weight_decay"], mom_sched,
             layer_wise_lr=self.layer_wise,
+            backbone_freeze=bool(self.model_cfg.get("backbone_freeze")),
+            bn_freeze_affine=bool(self.model_cfg.get("bn_freeze_affine")),
         )
 
     def _get_train_step(self, tx, key, lossfn, mixup: bool) -> Callable:

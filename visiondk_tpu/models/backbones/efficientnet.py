@@ -25,12 +25,13 @@ class FusedMBConv(nn.Module):
     expand: int
     kernel: int
     stride: int
+    bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name
+            use_running_average=(not train) or self.bn_eval, momentum=0.9, dtype=self.dtype, name=name
         )
         in_ch = x.shape[-1]
         mid = in_ch * self.expand
@@ -59,12 +60,13 @@ class MBConv(nn.Module):
     expand: int
     kernel: int
     stride: int
+    bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name
+            use_running_average=(not train) or self.bn_eval, momentum=0.9, dtype=self.dtype, name=name
         )
         in_ch = x.shape[-1]
         mid = in_ch * self.expand
@@ -119,12 +121,13 @@ class EfficientNetV2(nn.Module):
     head_ch: int = 1280
     num_classes: int = 1000
     unpooled: bool = False
+    bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name
+            use_running_average=(not train) or self.bn_eval, momentum=0.9, dtype=self.dtype, name=name
         )
         x = x.astype(self.dtype)
         x = nn.Conv(self.stem_ch, (3, 3), (2, 2), padding=1, use_bias=False,
@@ -134,7 +137,7 @@ class EfficientNetV2(nn.Module):
             for b in range(reps):
                 stride = s if b == 0 else 1
                 cls = FusedMBConv if kind == "fused" else MBConv
-                x = cls(out, e, k, stride, dtype=self.dtype,
+                x = cls(out, e, k, stride, bn_eval=self.bn_eval, dtype=self.dtype,
                         name=f"stage{si + 1}_block{b + 1}")(x, train=train)
         x = nn.Conv(self.head_ch, (1, 1), use_bias=False, dtype=self.dtype, name="head_conv")(x)
         x = nn.silu(norm("head_bn")(x))

@@ -57,12 +57,13 @@ class InvertedResidual(nn.Module):
     stride: int
     use_se: bool
     use_hs: bool
+    bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name
+            use_running_average=(not train) or self.bn_eval, momentum=0.9, dtype=self.dtype, name=name
         )
         act = hard_swish if self.use_hs else nn.relu
         in_ch = x.shape[-1]
@@ -129,12 +130,13 @@ class MobileNetV3(nn.Module):
     width_mult: float = 1.0
     num_classes: int = 1000
     unpooled: bool = False
+    bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name
+            use_running_average=(not train) or self.bn_eval, momentum=0.9, dtype=self.dtype, name=name
         )
         w = self.width_mult
         x = x.astype(self.dtype)
@@ -146,7 +148,7 @@ class MobileNetV3(nn.Module):
         for i, (k, exp, out, se, hs, s) in enumerate(self.blocks):
             x = InvertedResidual(
                 _make_divisible(exp * w), _make_divisible(out * w), k, s, se, hs,
-                dtype=self.dtype, name=f"stage{i + 1}_block1",
+                bn_eval=self.bn_eval, dtype=self.dtype, name=f"stage{i + 1}_block1",
             )(x, train=train)
         x = nn.Conv(
             _make_divisible(self.last_exp * w), (1, 1), use_bias=False,

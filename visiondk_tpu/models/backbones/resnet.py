@@ -28,11 +28,12 @@ class BasicBlock(nn.Module):
     strides: int = 1
     use_se: bool = False
     avg_down: bool = False
+    bn_eval: bool = False  # freeze_bn: always use running stats (classify_model.py:96-102)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9, dtype=self.dtype)
+        norm = partial(nn.BatchNorm, use_running_average=(not train) or self.bn_eval, momentum=0.9, dtype=self.dtype)
         residual = x
         y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides), padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = norm(name="bn1")(y)
@@ -58,11 +59,12 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     use_se: bool = False
     avg_down: bool = False
+    bn_eval: bool = False  # freeze_bn: always use running stats (classify_model.py:96-102)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9, dtype=self.dtype)
+        norm = partial(nn.BatchNorm, use_running_average=(not train) or self.bn_eval, momentum=0.9, dtype=self.dtype)
         width = int(self.filters * (self.base_width / 64.0)) * self.groups
         out_filters = self.filters * 4
         residual = x
@@ -96,11 +98,12 @@ class ResNet(nn.Module):
     deep_stem: bool = False  # resnet-d: 3x 3x3 stem convs
     avg_down: bool = False   # resnet-d: avgpool in downsample path
     unpooled: bool = False   # num_classes=0: return the NHWC map instead of pooled feats
+    bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9, dtype=self.dtype)
+        norm = partial(nn.BatchNorm, use_running_average=(not train) or self.bn_eval, momentum=0.9, dtype=self.dtype)
         x = x.astype(self.dtype)
         if self.deep_stem:
             x = nn.Conv(32, (3, 3), (2, 2), padding=1, use_bias=False, dtype=self.dtype, name="stem_conv1")(x)
@@ -123,6 +126,7 @@ class ResNet(nn.Module):
                     strides=strides,
                     use_se=self.use_se,
                     avg_down=self.avg_down,
+                    bn_eval=self.bn_eval,
                     dtype=self.dtype,
                 )
                 if self.block == "bottleneck":

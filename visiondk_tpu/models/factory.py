@@ -126,11 +126,16 @@ def get_model(model_cfg: Dict[str, Any], dtype: Any = jnp.float32) -> nn.Module:
     task = model_cfg["task"]
     if task == "classification":
         name = canonical_model_name(model_cfg["name"])
+        kwargs = dict(model_cfg.get("kwargs") or {})
+        if model_cfg.get("bn_freeze"):
+            # reference freeze_bn: BatchNorm always uses running stats
+            # (classify_model.py:96-102); affine freeze is an optimizer mask.
+            kwargs["bn_eval"] = True
         return VisionModel(
             backbone_name=name,
             num_classes=model_cfg["num_classes"],
             attention_pool=model_cfg.get("attention_pool", False),
-            backbone_kwargs=model_cfg.get("kwargs") or {},
+            backbone_kwargs=kwargs,
             dtype=dtype,
         )
     if task in ("face", "cbir"):
