@@ -296,9 +296,12 @@ class CenterProcessor:
             step = self._get_train_step(tx, (loss_key, mixup_active), lossfn, mixup_active)
 
             train_loader.set_epoch(epoch)
-            tloss = 0.0
             epoch_t0 = time.time()
             n_images = 0
+            # losses stay on device; ONE host fetch per epoch. A per-step
+            # float() would sync host↔device every step and stall the
+            # dispatch pipeline.
+            step_losses = []
             for i, batch in enumerate(train_loader):
                 lam = (
                     float(np.random.default_rng(self.seed * 100000 + epoch * 10000 + i).beta(
@@ -309,8 +312,9 @@ class CenterProcessor:
                 )
                 dev_batch = self._shard_batch(batch)
                 state, metrics = step(state, dev_batch, jnp.float32(lam))
-                tloss = (tloss * i + float(metrics["loss"])) / (i + 1)
+                step_losses.append(metrics["loss"])
                 n_images += batch["image"].shape[0]
+            tloss = float(jnp.mean(jnp.stack(step_losses))) if step_losses else 0.0
             epoch_secs = time.time() - epoch_t0
 
             # -- EMA validation (train.py:127-143)
@@ -417,22 +421,28 @@ class CenterProcessor:
             loss_meter.reset()
             epoch_t0 = time.time()
             n_images = 0
+            pending = []  # device losses; fetched only at print_freq/epoch end
             for i, batch in enumerate(train_loader):
                 dev_batch = self._shard_batch(batch)
                 state, metrics = step(state, dev_batch, jnp.float32(0.0))
-                loss_meter.update(float(metrics["loss"]), n=batch["image"].shape[0])
+                pending.append((metrics["loss"], batch["image"].shape[0]))
                 n_images += batch["image"].shape[0]
                 # print_freq cadence (reference train.py:235-242)
                 if primary and (i + 1) % print_freq == 0:
-                    step_count = int(state.step)
-                    lr = float(self._lr_fn(step_count)) if self._lr_fn else float("nan")
+                    for dev_loss, n in pending:
+                        loss_meter.update(float(dev_loss), n=n)
+                    pending.clear()
+                    steps_done = epoch * steps_per_epoch + i + 1
+                    lr = float(self._lr_fn(steps_done)) if self._lr_fn else float("nan")
                     logger.console(
                         f"epoch:{epoch + 1}/{epochs} batch:{i + 1} "
                         f"loss:{loss_meter.avg:.4f} lr:{lr:.3g}"
                     )
                     if self.metrics_writer is not None:
-                        self.metrics_writer.add_scalar("Train_loss", loss_meter.avg, step_count)
-                        self.metrics_writer.add_scalar("Train_lr", lr, step_count)
+                        self.metrics_writer.add_scalar("Train_loss", loss_meter.avg, steps_done)
+                        self.metrics_writer.add_scalar("Train_lr", lr, steps_done)
+            for dev_loss, n in pending:
+                loss_meter.update(float(dev_loss), n=n)
             epoch_secs = time.time() - epoch_t0
             if primary:
                 logger.both(
