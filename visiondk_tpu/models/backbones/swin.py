@@ -167,6 +167,7 @@ class SwinTransformer(nn.Module):
     num_classes: int = 1000
     stochastic_depth_prob: float = 0.1
     unpooled: bool = False
+    remat: bool = False  # checkpoint each block
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -183,6 +184,7 @@ class SwinTransformer(nn.Module):
         x = x.reshape(B, H * W, C)
         x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
 
+        block_cls = nn.remat(SwinBlock, static_argnums=(2,)) if self.remat else SwinBlock
         total = sum(self.depths)
         bidx = 0
         res = (H, W)
@@ -190,14 +192,14 @@ class SwinTransformer(nn.Module):
         for stage, depth in enumerate(self.depths):
             for b in range(depth):
                 dp = self.stochastic_depth_prob * bidx / max(total - 1, 1)
-                x = SwinBlock(
+                x = block_cls(
                     dim, self.num_heads[stage], res,
                     window_size=self.window_size,
                     shift=0 if b % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio,
                     drop_path=dp, dtype=self.dtype,
                     name=f"stage{stage}_block{b}",
-                )(x, deterministic=det)
+                )(x, det)
                 bidx += 1
             if stage < len(self.depths) - 1:
                 x = PatchMerging(res, dim, dtype=self.dtype, name=f"merge{stage}")(x)

@@ -65,6 +65,7 @@ class VisionTransformer(nn.Module):
     stochastic_depth_prob: float = 0.0
     pool: str = "cls"  # "cls" | "mean"
     unpooled: bool = False  # num_classes=0: return all tokens [B, N+1, C]
+    remat: bool = False  # checkpoint each block: ~O(√L) activation memory
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -82,9 +83,10 @@ class VisionTransformer(nn.Module):
         tokens = tokens + pos.astype(self.dtype)
         tokens = nn.Dropout(self.dropout)(tokens, deterministic=det)
 
+        block_cls = nn.remat(ViTBlock, static_argnums=(2,)) if self.remat else ViTBlock
         for i in range(self.depth):
             dp = self.stochastic_depth_prob * i / max(self.depth - 1, 1)
-            tokens = ViTBlock(
+            tokens = block_cls(
                 self.num_heads,
                 self.mlp_ratio,
                 drop_path=dp,
@@ -92,7 +94,7 @@ class VisionTransformer(nn.Module):
                 attn_dropout=self.attention_dropout,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(tokens, deterministic=det)
+            )(tokens, det)
 
         tokens = nn.LayerNorm(dtype=self.dtype, name="norm")(tokens)
         if self.num_classes == 0 and self.unpooled:
