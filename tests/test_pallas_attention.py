@@ -70,3 +70,36 @@ def test_vision_attention_fwd(interp):
 
     o = vision_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-4, rtol=1e-4)
+
+
+def test_fused_window_attention_matches_fallback(interp):
+    """Swin windowed kernel ≡ the XLA path (incl. shift mask + learned bias
+    gradient) — interpreter mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.backbones.swin import WindowAttention, window_region_ids
+
+    H = W = 8
+    ws, shift = 4, 2
+    ids = window_region_ids(H, W, ws, shift)
+    nW = ids.shape[0]
+    Bp, C, heads = 2 * nW, 32, 2
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(Bp, ws * ws, C)).astype(np.float32))
+
+    fused = WindowAttention(C, heads, ws, use_fused=True)
+    plain = WindowAttention(C, heads, ws, use_fused=False)
+    variables = plain.init({"params": jax.random.key(0)}, x, ids)
+
+    of = fused.apply(variables, x, ids)
+    op = plain.apply(variables, x, ids)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(op), atol=2e-4, rtol=2e-4)
+
+    gf = jax.grad(lambda v: jnp.sum(fused.apply(v, x, ids) ** 2))(variables)
+    gp = jax.grad(lambda v: jnp.sum(plain.apply(v, x, ids) ** 2))(variables)
+    for (pf, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gf)[0],
+        jax.tree_util.tree_flatten_with_path(gp)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)

@@ -45,8 +45,11 @@ def relative_position_index(ws: int) -> np.ndarray:
     return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
 
 
-def shifted_window_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
-    """Static additive attention mask [nW, ws², ws²] for SW-MSA."""
+def window_region_ids(H: int, W: int, ws: int, shift: int) -> np.ndarray:
+    """Static per-window shift-region ids [nW, ws²]; positions with different
+    ids must not attend (SW-MSA). shift=0 → all zeros (W-MSA)."""
+    if shift == 0:
+        return np.zeros(((H // ws) * (W // ws), ws * ws), np.int32)
     img_mask = np.zeros((1, H, W, 1), np.int32)
     cnt = 0
     for h in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
@@ -54,7 +57,12 @@ def shifted_window_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
             img_mask[:, h, w, :] = cnt
             cnt += 1
     mw = img_mask.reshape(1, H // ws, ws, W // ws, ws, 1)
-    mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
+    return mw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws).astype(np.int32)
+
+
+def shifted_window_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
+    """Static additive attention mask [nW, ws², ws²] for SW-MSA."""
+    mw = window_region_ids(H, W, ws, shift)
     attn_mask = (mw[:, None, :] != mw[:, :, None]).astype(np.float32) * -100.0
     return attn_mask  # [nW, n, n]
 
@@ -64,23 +72,21 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_size: int
     qkv_bias: bool = True
+    # The fused Pallas window kernel (ops/pallas/window_attention.py) is
+    # numerically equivalent but measured 6× SLOWER than XLA at swin shapes
+    # (105 vs 695 img/s swin-tiny train): the per-cell relative-bias DMA and
+    # D=32 quarter-tile lane slices dominate. Kept for future iteration;
+    # default stays on the XLA path.
+    use_fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, mask=None) -> Array:
-        # x: [B', N, C] with N = ws²
+    def __call__(self, x: Array, region_ids: np.ndarray) -> Array:
+        # x: [B', N, C] with N = ws²; region_ids: static [nW, N] int
         Bp, N, C = x.shape
         h = self.num_heads
         hd = C // h
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(Bp, N, 3, h, hd)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)
-        q = jnp.moveaxis(q, 2, 1)  # [B', h, N, hd]
-        k = jnp.moveaxis(k, 2, 1)
-        v = jnp.moveaxis(v, 2, 1)
-        attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * hd**-0.5, k, preferred_element_type=jnp.float32
-        )
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.normal(0.02),
@@ -88,15 +94,42 @@ class WindowAttention(nn.Module):
             jnp.float32,
         )
         idx = relative_position_index(self.window_size)
-        bias = table[idx.reshape(-1)].reshape(N, N, h)
-        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(Bp // nW, nW, h, N, N) + mask[None, :, None]
-            attn = attn.reshape(Bp, h, N, N)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = jnp.moveaxis(out, 1, 2).reshape(Bp, N, C)
+        bias = jnp.transpose(
+            table[idx.reshape(-1)].reshape(N, N, h), (2, 0, 1)
+        )  # [h, N, N]
+
+        if self.use_fused and jax.default_backend() == "tpu":
+            from visiondk_tpu.ops.pallas.window_attention import fused_window_attention
+
+            n_pad = max(-(-N // 128) * 128, 128)
+            # pad: key cols ≥ N get -inf through the bias (doubles as mask)
+            bias_p = jnp.pad(bias, ((0, 0), (0, n_pad - N), (0, n_pad - N)),
+                             constant_values=-1e30)
+            qkv_p = jnp.pad(qkv, ((0, 0), (0, n_pad - N), (0, 0)))
+            ids_p = jnp.asarray(
+                np.pad(region_ids, ((0, 0), (0, n_pad - N)), constant_values=0)
+            )
+            out = fused_window_attention(qkv_p, bias_p, ids_p, h)[:, :N, :]
+        else:
+            q, k, v = jnp.moveaxis(qkv.reshape(Bp, N, 3, h, hd), 2, 0)
+            q = jnp.moveaxis(q, 2, 1)  # [B', h, N, hd]
+            k = jnp.moveaxis(k, 2, 1)
+            v = jnp.moveaxis(v, 2, 1)
+            attn = jnp.einsum(
+                "bhqd,bhkd->bhqk", q * hd**-0.5, k, preferred_element_type=jnp.float32
+            )
+            attn = attn + bias[None]
+            if region_ids.max() > 0:  # SW-MSA mask
+                mask = (
+                    (region_ids[:, None, :] != region_ids[:, :, None]).astype(np.float32)
+                    * -100.0
+                )
+                nW = mask.shape[0]
+                attn = attn.reshape(Bp // nW, nW, h, N, N) + jnp.asarray(mask)[None, :, None]
+                attn = attn.reshape(Bp, h, N, N)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            out = jnp.moveaxis(out, 1, 2).reshape(Bp, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
@@ -120,13 +153,11 @@ class SwinBlock(nn.Module):
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x).reshape(B, H, W, C)
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(shifted_window_mask(H, W, ws, shift))
-        else:
-            mask = None
+        region_ids = window_region_ids(H, W, ws, shift)  # static [nW, ws²]
         windows = window_partition(y, ws).reshape(-1, ws * ws, C)
         attn = WindowAttention(
             self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
-        )(windows, mask)
+        )(windows, region_ids)
         y = window_reverse(attn.reshape(-1, ws, ws, C), ws, H, W)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
