@@ -80,11 +80,16 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
 
         dropout_active = self.attn_drop > 0.0 and not deterministic
+        # device_count()==1: a pallas_call inside a *sharded* jit fails SPMD
+        # partitioning (verified: spmd_partitioner RET_CHECK on the custom
+        # call). Multi-chip runs take the XLA path until the kernel gets a
+        # custom partitioning rule / shard_map call-site wrap.
         if (
             self.use_fused
             and not dropout_active
             and head_dim <= 128
             and jax.default_backend() == "tpu"
+            and jax.device_count() == 1
         ):
             from visiondk_tpu.ops.pallas import fused_qkv_attention
 
