@@ -94,6 +94,55 @@ class SmartDataProcessor:
 
     # ------------------------------------------------------------- loaders
 
+    def _native_val_loader(self, batch_size: int):
+        """C++ decode fast path for the val loader: local single-label files,
+        deterministic letterbox pipeline, no label transform. Returns None
+        when any condition fails (PIL path covers the rest)."""
+        ds = self.val_dataset
+        if ds is None or ds.label_transforms is not None or not len(ds):
+            return None
+        if ds._hf_dataset is not None or not isinstance(ds.images[0], str):
+            return None
+        if not all(isinstance(l, (int,)) or hasattr(l, "__int__") for l in ds.labels[:1]):
+            return None
+        try:
+            import numpy as _np
+
+            from visiondk_tpu.data.loader import NativeEvalLoader
+            from visiondk_tpu.data.native import native_available
+            from visiondk_tpu.data.transforms import is_plain_letterbox
+
+            if not native_available():
+                return None
+            base = getattr(ds.transforms, "base_transforms", ds.transforms)
+            size = is_plain_letterbox(base)
+            if size is None:
+                return None
+            inner = NativeEvalLoader(ds.images, list(ds.labels), size, batch_size)
+        except Exception:
+            return None
+
+        class _LabeledAdapter:
+            def __len__(self):
+                return len(inner)
+
+            def __iter__(self):
+                for b in inner:
+                    yield {
+                        "image": b["image"],
+                        "label": _np.asarray(
+                            b["keys"]
+                            + [b["keys"][-1]] * (batch_size - len(b["keys"])),
+                            _np.int32,
+                        ),
+                        "valid": b["valid"],
+                    }
+
+            def set_epoch(self, epoch):
+                pass
+
+        return _LabeledAdapter()
+
     def dataloader(
         self,
         mode: str,
@@ -107,6 +156,10 @@ class SmartDataProcessor:
             num_workers = min(self.data_cfg.get("nw") or 8, (os.cpu_count() or 8))
             num_workers = max(num_workers, 1)
         train = mode == "train"
+        if not train:
+            native = self._native_val_loader(batch_size)
+            if native is not None:
+                return native
         return DataLoader(
             self.train_dataset if train else self.val_dataset,
             batch_size=batch_size,
