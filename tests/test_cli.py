@@ -89,3 +89,26 @@ def test_metrics_jsonl_written(trained_run):
     lines = (trained_run / "metrics.jsonl").read_text().splitlines()
     tags = {json.loads(l)["tag"] for l in lines}
     assert {"Train_loss", "Val_top1"} <= tags, tags
+
+
+def test_visualize_cli(trained_run, tmp_path):
+    import visualize as visualize_cli
+
+    cfg = yaml.safe_load((trained_run / "config.yaml").read_text())
+    val_dir = Path(cfg["data"]["root"]) / "val"
+    opt = SimpleNamespace(
+        cfgs=str(trained_run / "config.yaml"), weight=str(trained_run / "best"),
+        data=str(val_dir), target_class=None, remove_label=False,
+        no_save_image=False, cam=True, cam_method="gradcam", ema=True,
+        class_json=None, badcase=False, sampling=3, max_rank=5, root=None,
+        show_path=str(tmp_path / "viz"), name="exp",
+    )
+    visualize_cli.main(opt)
+    out_dir = next((tmp_path / "viz").glob("exp*"))
+    pngs = list(out_dir.glob("*.png"))
+    assert len(pngs) == 3, pngs
+    # CAM overlay doubles the width
+    from PIL import Image as PILImage
+
+    im = PILImage.open(pngs[0])
+    assert im.width == 64 and im.height == 32, im.size
