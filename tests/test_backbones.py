@@ -69,3 +69,21 @@ def test_backbone_train_mode_updates_bn():
     after = jax.tree_util.tree_leaves(new_state["batch_stats"])
     delta = sum(float(jnp.abs(a - b).sum()) for a, b in zip(before, after))
     assert delta > 0.0
+
+
+def test_swinv2_forward_and_unpooled():
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.backbones import BACKBONES
+
+    model = BACKBONES.create("swinv2_tiny_window8_256", num_classes=5)
+    x = jnp.zeros((2, 256, 256, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 5)
+    assert np.isfinite(np.asarray(out)).all()
+
+    feat_model = BACKBONES.create("swinv2_tiny_window8_256", num_classes=0, unpooled=True)
+    fmap = feat_model.apply(variables, x, train=False)
+    assert fmap.shape == (2, 64, 768)  # 8x8 tokens, 8*embed_dim channels

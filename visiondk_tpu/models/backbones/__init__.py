@@ -18,6 +18,7 @@ from visiondk_tpu.models.backbones import (  # noqa: E402,F401
     swin,
     mobilenet,
     efficientnet,
+    swinv2,
 )
 
 __all__ = ["BACKBONES"]

@@ -1,0 +1,207 @@
+"""Swin Transformer V2 (T/S/B) — covers the swinv2 rows of the reference's
+recommended list (configs/classification/pet.yaml:9-10:
+timm-swinv2_base_window8_256, swinv2_large_window12to16_192to256).
+
+V2 changes vs V1 (all implemented):
+- post-norm residual blocks (norm after attention/MLP, not before);
+- scaled cosine attention: cos(q, k) / τ with a learned per-head temperature
+  clamped at log(1/0.01);
+- log-spaced continuous relative position bias: a 2-layer MLP over
+  log-scaled coordinates instead of a lookup table.
+
+Reuses V1's window partition / shift machinery (swin.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from visiondk_tpu.models.backbones import BACKBONES
+from visiondk_tpu.models.backbones.swin import (
+    PatchMerging,
+    window_partition,
+    window_region_ids,
+    window_reverse,
+)
+from visiondk_tpu.models.layers import DropPath, Mlp
+
+Array = Any
+
+
+def log_relative_coords(ws: int) -> np.ndarray:
+    """[ws², ws², 2] log-spaced signed relative coordinates (SwinV2 eq. 4)."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1).astype(np.float32)
+    rel = (flat[:, :, None] - flat[:, None, :]).transpose(1, 2, 0)  # [n, n, 2]
+    rel = rel / max(ws - 1, 1) * 8.0
+    return np.sign(rel) * np.log2(np.abs(rel) + 1.0) / np.log2(8.0)
+
+
+class WindowAttentionV2(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, region_ids: np.ndarray) -> Array:
+        Bp, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.moveaxis(qkv.reshape(Bp, N, 3, h, hd), 2, 0)
+        q = jnp.moveaxis(q, 2, 1)  # [B', h, N, hd]
+        k = jnp.moveaxis(k, 2, 1)
+        v = jnp.moveaxis(v, 2, 1)
+
+        # scaled cosine attention
+        qn = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True), 1e-6).astype(q.dtype)
+        kn = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True), 1e-6).astype(k.dtype)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", qn, kn, preferred_element_type=jnp.float32)
+        logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, np.log(10.0), jnp.float32),
+            (h, 1, 1),
+        )
+        attn = attn * jnp.exp(jnp.minimum(logit_scale, np.log(100.0)))[None]
+
+        # continuous log-CPB: MLP(2 → 512 → h) over log relative coords
+        rel = jnp.asarray(log_relative_coords(self.window_size))  # [N, N, 2]
+        cpb = nn.Dense(512, dtype=jnp.float32, name="cpb_fc1")(rel)
+        cpb = nn.relu(cpb)
+        cpb = nn.Dense(h, use_bias=False, dtype=jnp.float32, name="cpb_fc2")(cpb)
+        bias = 16.0 * jax.nn.sigmoid(jnp.transpose(cpb, (2, 0, 1)))  # [h, N, N]
+        attn = attn + bias[None]
+
+        if region_ids.max() > 0:  # SW-MSA
+            mask = (
+                (region_ids[:, None, :] != region_ids[:, :, None]).astype(np.float32)
+                * -100.0
+            )
+            nW = mask.shape[0]
+            attn = attn.reshape(Bp // nW, nW, h, N, N) + jnp.asarray(mask)[None, :, None]
+            attn = attn.reshape(Bp, h, N, N)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = jnp.moveaxis(out, 1, 2).reshape(Bp, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class SwinV2Block(nn.Module):
+    dim: int
+    num_heads: int
+    input_resolution: Tuple[int, int]
+    window_size: int = 8
+    shift: int = 0
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        H, W = self.input_resolution
+        B, N, C = x.shape
+        ws = min(self.window_size, H, W)
+        shift = self.shift if ws < min(H, W) else 0
+
+        y = x.reshape(B, H, W, C)
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        region_ids = window_region_ids(H, W, ws, shift)
+        windows = window_partition(y, ws).reshape(-1, ws * ws, C)
+        attn = WindowAttentionV2(
+            self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
+        )(windows, region_ids)
+        y = window_reverse(attn.reshape(-1, ws, ws, C), ws, H, W)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        y = y.reshape(B, N, C)
+        # V2 post-norm
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(y)
+        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic=deterministic)
+
+        y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(x, deterministic=deterministic)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
+        return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic=deterministic)
+
+
+class SwinTransformerV2(nn.Module):
+    image_size: int = 256
+    patch_size: int = 4
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 8
+    mlp_ratio: float = 4.0
+    num_classes: int = 1000
+    stochastic_depth_prob: float = 0.1
+    unpooled: bool = False
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        det = not train
+        x = x.astype(self.dtype)
+        B = x.shape[0]
+        x = nn.Conv(
+            self.embed_dim, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size), padding="VALID",
+            dtype=self.dtype, name="patch_embed",
+        )(x)
+        _, H, W, C = x.shape
+        x = x.reshape(B, H * W, C)
+        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+
+        block_cls = (
+            nn.remat(SwinV2Block, static_argnums=(2,)) if self.remat else SwinV2Block
+        )
+        total = sum(self.depths)
+        bidx = 0
+        res = (H, W)
+        dim = self.embed_dim
+        for stage, depth in enumerate(self.depths):
+            for b in range(depth):
+                dp = self.stochastic_depth_prob * bidx / max(total - 1, 1)
+                x = block_cls(
+                    dim, self.num_heads[stage], res,
+                    window_size=self.window_size,
+                    shift=0 if b % 2 == 0 else self.window_size // 2,
+                    mlp_ratio=self.mlp_ratio,
+                    drop_path=dp, dtype=self.dtype,
+                    name=f"stage{stage}_block{b}",
+                )(x, det)
+                bidx += 1
+            if stage < len(self.depths) - 1:
+                x = PatchMerging(res, dim, dtype=self.dtype, name=f"merge{stage}")(x)
+                res = (res[0] // 2, res[1] // 2)
+                dim *= 2
+
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        if self.num_classes == 0 and self.unpooled:
+            return x.astype(jnp.float32)
+        feats = jnp.mean(x, axis=1).astype(jnp.float32)
+        if self.num_classes == 0:
+            return feats
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(feats)
+
+
+def _swinv2(embed_dim, depths, num_heads, window_size=8):
+    def factory(num_classes: int = 1000, dtype=jnp.float32, **kwargs):
+        return SwinTransformerV2(
+            embed_dim=embed_dim, depths=depths, num_heads=num_heads,
+            window_size=window_size, num_classes=num_classes, dtype=dtype, **kwargs,
+        )
+
+    return factory
+
+
+BACKBONES.register(_swinv2(96, (2, 2, 6, 2), (3, 6, 12, 24)), name="swinv2_tiny_window8_256")
+BACKBONES.register(_swinv2(96, (2, 2, 18, 2), (3, 6, 12, 24)), name="swinv2_small_window8_256")
+BACKBONES.register(_swinv2(128, (2, 2, 18, 2), (4, 8, 16, 32)), name="swinv2_base_window8_256")
