@@ -1,0 +1,107 @@
+"""Partial-FC model parallelism: the margin head's class dimension sharded
+over the mesh 'model' axis must train identically to single-device
+(SURVEY §4(c): sharded-vs-single numerical equivalence)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from visiondk_tpu.engine.state import create_train_state
+    from visiondk_tpu.engine.steps import StepConfig, make_train_step
+    from visiondk_tpu.losses import create_lossfn
+    from visiondk_tpu.models.factory import EmbeddingModel
+
+    num_class = 64
+    model = EmbeddingModel(
+        backbone_name="resnet18",
+        feat_dim=16,
+        head_config={
+            "arcface": {
+                "feat_dim": 16, "num_class": num_class,
+                "margin_arc": 0.35, "margin_am": 0.0, "scale": 32,
+            }
+        },
+    )
+    rng = jax.random.key(0)
+    x = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    y = jnp.zeros((8,), jnp.int32)
+    variables = model.init({"params": rng}, x, y, train=False)
+    tx = optax.sgd(0.05, momentum=0.9)
+
+    def fresh_state():
+        return create_train_state(
+            jax.tree_util.tree_map(lambda a: a.copy(), variables), tx
+        )
+
+    step = make_train_step(
+        model, tx, create_lossfn("ce"), StepConfig(task="embedding"),
+        jax.random.key(1), donate=False,
+    )
+    data = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(data.integers(0, 255, (8, 32, 32, 3)).astype(np.uint8)),
+        "label": jnp.asarray(data.integers(0, num_class, (8,)).astype(np.int32)),
+    }
+    return fresh_state, step, batch
+
+
+def _head_weight_path(params):
+    import jax
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = [str(getattr(p, "key", "")) for p in path]
+        if "head" in keys and keys[-1] == "weight":
+            return path, leaf
+    raise AssertionError("no head weight found")
+
+
+def test_partial_fc_sharding_placement(setup, mesh4x2):
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from visiondk_tpu.engine.state import place_state
+
+    fresh_state, step, batch = setup
+    state = place_state(mesh4x2, fresh_state())
+    _, w = _head_weight_path(state.params)
+    assert w.sharding.spec == P(None, "model"), w.sharding
+
+
+def test_partial_fc_matches_single_device(setup, mesh4x2):
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.engine.state import place_state
+    from visiondk_tpu.parallel import build_mesh
+
+    fresh_state, step, batch = setup
+
+    single = build_mesh(devices=jax.devices()[:1])
+    s1 = place_state(single, fresh_state())
+    s2 = place_state(mesh4x2, fresh_state())
+
+    b1 = jax.device_put(batch, single.batch)
+    b2 = jax.device_put(batch, mesh4x2.batch)
+
+    # two steps: f32 reduction-order differences amplify chaotically beyond
+    # that (arcface thresholds are discontinuous); 2-step agreement at 1e-3
+    # demonstrates the sharded math is the same computation.
+    losses1, losses2 = [], []
+    for _ in range(2):
+        s1, m1 = step(s1, b1, jnp.float32(0.0))
+        s2, m2 = step(s2, b2, jnp.float32(0.0))
+        losses1.append(float(m1["loss"]))
+        losses2.append(float(m2["loss"]))
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-3)
+
+    _, w1 = _head_weight_path(s1.params)
+    _, w2 = _head_weight_path(s2.params)
+    np.testing.assert_allclose(
+        np.asarray(w1), np.asarray(w2), rtol=1e-2, atol=1e-4
+    )
