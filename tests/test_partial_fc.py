@@ -103,5 +103,5 @@ def test_partial_fc_matches_single_device(setup, mesh4x2):
     _, w1 = _head_weight_path(s1.params)
     _, w2 = _head_weight_path(s2.params)
     np.testing.assert_allclose(
-        np.asarray(w1), np.asarray(w2), rtol=1e-2, atol=1e-4
+        np.asarray(w1), np.asarray(w2), rtol=1e-2, atol=5e-4
     )
