@@ -173,6 +173,12 @@ def _fused_fwd_kernel(qkv_ref, o_ref, *, heads: int, head_dim: int, n_valid: int
     x = qkv_ref[...]  # [R, N, 3C] in VMEM (R batch rows per cell)
     n = x.shape[1]
     c = heads * head_dim
+    if n_valid < n:
+        # The N block over-reads past the array (pallas masks writes but OOB
+        # *reads* are undefined); zero the tail so garbage V rows can't leak
+        # NaNs through p·V (p is exactly 0 there, but 0·NaN = NaN).
+        row3 = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = jnp.where(row3 < n_valid, x, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], n, n), 2)
     for h in range(heads):
         q = x[:, :, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
@@ -198,6 +204,13 @@ def _fused_bwd_kernel(
     do3 = do_ref[...]
     n = x.shape[1]
     c = heads * head_dim
+    if n_valid < n:
+        # zero OOB-read tails (see fwd kernel); garbage dO rows would
+        # otherwise contaminate dV/dK through the row reductions
+        rx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = jnp.where(rx < n_valid, x, 0)
+        rdo = jax.lax.broadcasted_iota(jnp.int32, do3.shape, 1)
+        do3 = jnp.where(rdo < n_valid, do3, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], n, n), 2)
     for h in range(heads):
         q = x[:, :, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
@@ -248,24 +261,28 @@ _PARALLEL = pltpu.CompilerParams(dimension_semantics=("parallel",))
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def _fused_attention_padded(qkv: Array, heads: int, head_dim: int, n_valid: int) -> Array:
+    """qkv may be unpadded ([B, n_valid, 3C]): block shapes are rounded up to
+    the 128-lane tile and pallas masks the out-of-range writes — no jnp.pad /
+    slice HBM passes (the kernels zero the over-read tails in VMEM)."""
     b, n, w = qkv.shape
     c = heads * head_dim
     scale = head_dim**-0.5
     rows = _rows_per_cell(b)
+    np_ = _round_up(max(n, 128), 128)
     kern = functools.partial(
         _fused_fwd_kernel, heads=heads, head_dim=head_dim, n_valid=n_valid, scale=scale
     )
     return pl.pallas_call(
         kern,
         grid=(b // rows,),
-        in_specs=[_row_spec(n, w, rows)],
-        out_specs=_row_spec(n, c, rows),
+        in_specs=[_row_spec(np_, w, rows)],
+        out_specs=_row_spec(np_, c, rows),
         out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
         compiler_params=_PARALLEL,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * heads * n * n * head_dim,
+            flops=2 * 2 * b * heads * np_ * np_ * head_dim,
             bytes_accessed=(b * n * w + b * n * c) * 2,
-            transcendentals=b * heads * n * n,
+            transcendentals=b * heads * np_ * np_,
         ),
     )(qkv)
 
@@ -279,20 +296,21 @@ def _fused_vjp_bwd(heads, head_dim, n_valid, qkv, do):
     scale = head_dim**-0.5
     # bwd holds ~4 f32 [R·n, n] intermediates per head — keep R=1 under VMEM
     rows = 1
+    np_ = _round_up(max(n, 128), 128)
     kern = functools.partial(
         _fused_bwd_kernel, heads=heads, head_dim=head_dim, n_valid=n_valid, scale=scale
     )
     dqkv = pl.pallas_call(
         kern,
         grid=(b // rows,),
-        in_specs=[_row_spec(n, w, rows), _row_spec(n, heads * head_dim, rows)],
-        out_specs=_row_spec(n, w, rows),
+        in_specs=[_row_spec(np_, w, rows), _row_spec(np_, heads * head_dim, rows)],
+        out_specs=_row_spec(np_, w, rows),
         out_shape=jax.ShapeDtypeStruct((b, n, w), qkv.dtype),
         compiler_params=_PARALLEL,
         cost_estimate=pl.CostEstimate(
-            flops=5 * 2 * b * heads * n * n * head_dim,
+            flops=5 * 2 * b * heads * np_ * np_ * head_dim,
             bytes_accessed=2 * (b * n * w + b * n * heads * head_dim) * 2,
-            transcendentals=b * heads * n * n,
+            transcendentals=b * heads * np_ * np_,
         ),
     )(qkv, do)
     return (dqkv,)
@@ -305,16 +323,13 @@ def fused_qkv_attention(qkv: Array, heads: int) -> Array:
     """Attention straight from the QKV projection: [B, N, 3C] → [B, N, C].
 
     No [B,H,N,D] transposes anywhere — heads are lane slices inside VMEM.
-    N is padded to a multiple of 128 internally (mask keeps semantics).
+    N needs no host-visible padding: the kernel blocks round up to the
+    128-lane tile and mask the tail.
     """
     b, n, w = qkv.shape
     assert w % (3 * heads) == 0, (w, heads)
     head_dim = w // (3 * heads)
-    n_pad = _round_up(max(n, 128), 128)
-    if n_pad != n:
-        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
-    out = _fused_attention_padded(qkv, heads, head_dim, n)
-    return out[:, :n, :] if n_pad != n else out
+    return _fused_attention_padded(qkv, heads, head_dim, n)
 
 
 def vision_attention(q: Array, k: Array, v: Array) -> Array:
