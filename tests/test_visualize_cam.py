@@ -34,7 +34,11 @@ def small_model():
     return model, variables, x
 
 
-@pytest.mark.parametrize("method", ["gradcam", "gradcampp", "xgradcam", "layercam", "eigencam"])
+@pytest.mark.parametrize(
+    "method",
+    ["gradcam", "gradcampp", "xgradcam", "layercam", "eigencam",
+     "ablationcam", "scorecam"],
+)
 def test_cam_methods(small_model, method):
     from visiondk_tpu.utils.cam import ClassActivationMaper
 

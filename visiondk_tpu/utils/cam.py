@@ -45,7 +45,11 @@ CAM_METHODS = (
     "hirescam",
     "eigencam",
     "eigengradcam",
+    "ablationcam",   # O(C) forwards: per-channel ablation of the feature map
+    "scorecam",      # O(C) forwards: activation-masked inputs
 )
+_PERTURB_METHODS = ("ablationcam", "scorecam")
+_PERTURB_CHUNK = 64  # channels per jitted batch in the O(C) sweeps
 
 # Per-architecture target-layer regex over flax module paths (the analogue of
 # the reference's per-arch ``target_layers`` table, utils/cam.py:108-155).
@@ -181,9 +185,20 @@ class ClassActivationMaper:
             g = jax.grad(score)(fmap)
             return g
 
+        def scores_inject(fmaps: Array, x: Array, class_idx: Array) -> Array:
+            """Batched class scores for K injected feature-map variants
+            (ablationcam / scorecam's perturbation sweep)."""
+
+            def one(fmap):
+                logits = forward_inject(fmap[None], x)
+                return jnp.take_along_axis(logits, class_idx[:, None], axis=1)[0, 0]
+
+            return jax.lax.map(one, fmaps)
+
         self._capture = jax.jit(capture_fmap)
         self._grad = jax.jit(score_grad)
         self._logits = jax.jit(lambda x: mdl.apply(variables_, x, train=False))
+        self._scores_inject = jax.jit(scores_inject)
 
     # ------------------------------------------------------------ weights
 
@@ -226,6 +241,55 @@ class ClassActivationMaper:
 
     # ------------------------------------------------------------ public
 
+    # ------------------------------------------------ perturbation methods
+
+    def _channel_weights_ablation(self, fmap, x, class_idx) -> np.ndarray:
+        """w_k = (y_c − y_c^{ablate k}) / y_c (AblationCAM)."""
+        idx = jnp.asarray([class_idx], jnp.int32)
+        c = fmap.shape[-1]
+        base = float(np.asarray(self._scores_inject(fmap[None, 0], x, idx))[0])
+        weights = np.zeros((c,), np.float32)
+        chan = jnp.arange(c)
+        for s in range(0, c, _PERTURB_CHUNK):
+            k = min(_PERTURB_CHUNK, c - s)
+            sel = chan[s : s + k]
+            if k < _PERTURB_CHUNK:
+                sel = jnp.pad(sel, (0, _PERTURB_CHUNK - k))
+            keep = (chan[None, :] != sel[:, None]).astype(fmap.dtype)  # [K, C]
+            variants = fmap[0][None] * keep.reshape(
+                (_PERTURB_CHUNK,) + (1,) * (fmap.ndim - 2) + (c,)
+            )
+            scores = np.asarray(self._scores_inject(variants, x, idx))
+            weights[s : s + k] = (base - scores[:k]) / (abs(base) + 1e-8)
+        return weights
+
+    def _channel_weights_score(self, fmap_s: np.ndarray, x, class_idx) -> np.ndarray:
+        """softmax over channels of the class score on activation-masked
+        inputs (ScoreCAM)."""
+        idx = class_idx
+        h, w, c = fmap_s.shape
+        hi, wi = x.shape[1], x.shape[2]
+        acts = jnp.asarray(fmap_s)
+        acts = jax.image.resize(acts, (hi, wi, c), method="bilinear")
+        mn = jnp.min(acts, axis=(0, 1), keepdims=True)
+        mx = jnp.max(acts, axis=(0, 1), keepdims=True)
+        acts = (acts - mn) / jnp.maximum(mx - mn, 1e-8)  # [Hi, Wi, C] in [0,1]
+        scores = np.zeros((c,), np.float32)
+        for s in range(0, c, _PERTURB_CHUNK):
+            k = min(_PERTURB_CHUNK, c - s)
+            masks = jnp.moveaxis(
+                jax.lax.dynamic_slice_in_dim(acts, s, k, axis=2), 2, 0
+            )  # [k, Hi, Wi]
+            if k < _PERTURB_CHUNK:
+                masks = jnp.pad(masks, ((0, _PERTURB_CHUNK - k), (0, 0), (0, 0)))
+            masked = x[0][None] * masks[..., None]
+            logits = np.asarray(self._logits(masked))
+            scores[s : s + k] = logits[:k, idx]
+        e = np.exp(scores - scores.max())
+        return (e / e.sum()).astype(np.float32)
+
+    # ------------------------------------------------------------ public
+
     def __call__(
         self,
         image,
@@ -242,6 +306,17 @@ class ClassActivationMaper:
         if class_idx is None:
             class_idx = int(np.argmax(np.asarray(self._logits(x))[0]))
         fmap = self._capture(x)
+
+        if self.method in _PERTURB_METHODS:
+            fmap_np = np.asarray(fmap, np.float32)[0]
+            fmap_s = _to_spatial(fmap_np, drop_cls=self._is_token_map)
+            if self.method == "ablationcam":
+                w = self._channel_weights_ablation(fmap, x, class_idx)
+            else:
+                w = self._channel_weights_score(fmap_s, x, class_idx)
+            cam = np.maximum((fmap_s * w).sum(-1), 0)
+            return self._finish(image, cam)
+
         if self.method in ("eigencam",):
             grad = None
         else:
@@ -252,11 +327,13 @@ class ClassActivationMaper:
         fmap_s = _to_spatial(fmap, drop_cls=self._is_token_map)
         grad_s = _to_spatial(grad, drop_cls=self._is_token_map) if grad is not None else None
         cam = self._cam_from(self.method, fmap_s, grad_s)
+        return self._finish(image, cam)
 
+    @staticmethod
+    def _finish(image, cam: np.ndarray) -> np.ndarray:
         cam = cam - cam.min()
         if cam.max() > 0:
             cam = cam / cam.max()
-
         image = np.asarray(image)
         h, w = image.shape[:2]
         cam_img = np.asarray(
