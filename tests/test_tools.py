@@ -122,3 +122,33 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(reloaded.call(img)), np.asarray(infer(img)), rtol=1e-5, atol=1e-5
     )
+
+
+def test_export_symbolic_batch(tmp_path):
+    """export with dynamic batch (jax.export symbolic shape) serializes and
+    runs at multiple batch sizes."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax import export as jexport
+
+    from visiondk_tpu.engine.state import create_train_state
+    from visiondk_tpu.engine.steps import StepConfig, make_eval_step
+    from visiondk_tpu.models.factory import VisionModel
+
+    model = VisionModel(backbone_name="vit_small_patch16_224", num_classes=3)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False)
+    state = create_train_state(variables, optax.sgd(0.1))
+    step = make_eval_step(model, StepConfig(), use_ema=False)
+
+    def infer(images):
+        return step(state, {"image": images})
+
+    b = jexport.symbolic_shape("b")[0]
+    spec = jax.ShapeDtypeStruct((b, 32, 32, 3), jnp.uint8)
+    exported = jexport.export(jax.jit(infer))(spec)
+    reloaded = jexport.deserialize(bytearray(exported.serialize()))
+    for n in (1, 3):
+        out = np.asarray(reloaded.call(np.zeros((n, 32, 32, 3), np.uint8)))
+        assert out.shape == (n, 3)

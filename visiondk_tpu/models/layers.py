@@ -88,6 +88,7 @@ class Attention(nn.Module):
             self.use_fused
             and not dropout_active
             and head_dim <= 128
+            and isinstance(B, int)  # symbolic batch (jax.export) → XLA path
             and jax.default_backend() == "tpu"
             and jax.device_count() == 1
         ):
