@@ -153,3 +153,29 @@ def test_cbir_training_and_retrieval_eval(cbir_root, tmp_path, mesh8):
     assert recall_keys, metrics
     assert metrics[recall_keys[-1]] >= 0.5, metrics
     assert metrics["MRR@1"] >= 0.5, metrics
+
+
+def test_embedding_resume(cbir_root, tmp_path, mesh8):
+    """run_embedding --resume continues from the saved epoch
+    (vision_engine.py:494-507 parity)."""
+    import jax.numpy as jnp
+
+    from visiondk_tpu.engine import CenterProcessor
+
+    cfgs = _embed_cfgs(cbir_root, "cbir")
+    cfgs["hyp"]["epochs"] = 2
+    cp = CenterProcessor(
+        cfgs, project=str(tmp_path / "r"), train=True, mesh=mesh8,
+        compute_dtype=jnp.float32,
+    )
+    cp.run_embedding(save_freq=1)
+    assert (tmp_path / "r" / "last").exists()
+
+    cfgs["hyp"]["epochs"] = 3
+    cp2 = CenterProcessor(
+        cfgs, project=str(tmp_path / "r"), train=True, mesh=mesh8,
+        compute_dtype=jnp.float32,
+    )
+    metrics = cp2.run_embedding(resume="last", save_freq=1)
+    assert "MRR@1" in metrics
+    assert (tmp_path / "r" / "Epoch_3").exists()
