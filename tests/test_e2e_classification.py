@@ -122,3 +122,58 @@ def test_resume_continues(dataset_root, tmp_path, mesh8):
     )
     out = cp2.run_classifier(resume="last")
     assert "top1" in out
+
+
+def _pipeline_fingerprint(dp):
+    """(transform type names, output spatial shape) of the live train pipeline."""
+    aug = dp.train_dataset.transforms.base_transforms
+    names = [type(t).__name__ for t in aug.transforms]
+    img = Image.fromarray(np.zeros((48, 40, 3), np.uint8))
+    out = np.asarray(aug(img))
+    return names, out.shape
+
+
+def test_resume_replays_strategy_state(dataset_root, tmp_path, mesh8):
+    """Resuming past warm_ep / aug_epoch / a resize node reconstructs the
+    augment pipeline, focal swap, and progressive size exactly as an
+    uninterrupted run (the reference forgets all of these on resume,
+    vision_engine.py:344-375 — matching that bug isn't the bar)."""
+    import jax.numpy as jnp
+    from visiondk_tpu.engine import CenterProcessor
+
+    def cfgs(epochs):
+        c = _cfgs(dataset_root)
+        c["data"]["train"]["bs"] = 8
+        c["hyp"]["epochs"] = epochs
+        c["hyp"]["warm_ep"] = 1
+        c["data"]["train"]["aug_epoch"] = 2          # weaken fires before resume point
+        c["hyp"]["loss"] = {"ce": False, "bce": [True, 0.5]}
+        c["hyp"]["strategy"]["focal"] = [True, 0.25, 1.5]   # swaps at warm_ep
+        c["hyp"]["strategy"]["prog_learn"] = True           # nodes [1, 2, 3]
+        return c
+
+    # uninterrupted 6-epoch run
+    cp_a = CenterProcessor(
+        cfgs(6), project=str(tmp_path / "uninterrupted"), train=True, mesh=mesh8,
+        compute_dtype=jnp.float32,
+    )
+    cp_a.run_classifier()
+
+    # interrupted at epoch 3, resumed to 6
+    cp_b1 = CenterProcessor(
+        cfgs(3), project=str(tmp_path / "interrupted"), train=True, mesh=mesh8,
+        compute_dtype=jnp.float32,
+    )
+    cp_b1.run_classifier()
+    cp_b2 = CenterProcessor(
+        cfgs(6), project=str(tmp_path / "interrupted"), train=True, mesh=mesh8,
+        compute_dtype=jnp.float32,
+    )
+    cp_b2.run_classifier(resume="last")
+
+    assert _pipeline_fingerprint(cp_b2.data_processor) == _pipeline_fingerprint(
+        cp_a.data_processor
+    )
+    # the focal swap (warm_ep=1 < resume point) was replayed: the resumed run's
+    # step variants were all built with the focal loss
+    assert all(k[0] == "focal" for k in cp_b2._step_cache), cp_b2._step_cache.keys()

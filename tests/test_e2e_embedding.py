@@ -119,6 +119,18 @@ def test_face_training_and_pair_eval(face_root, tmp_path, mesh8):
     assert (tmp_path / "face_run" / "Epoch_3").exists()
     assert (tmp_path / "face_run" / "metrics.jsonl").exists()
 
+    # best-checkpoint selection: fitness (pair-accuracy mean) is tracked, not
+    # frozen at 0.0 — the best ckpt exists and records the achieved fitness
+    import json
+
+    assert (tmp_path / "face_run" / "best").exists()
+    with open(tmp_path / "face_run" / "best" / "meta.json") as f:
+        meta = json.load(f)
+    assert meta["best_fitness"] == pytest.approx(metrics["mean"])
+    with open(tmp_path / "face_run" / "Epoch_3" / "meta.json") as f:
+        epoch_meta = json.load(f)
+    assert epoch_meta["fitness"]["mean"] == pytest.approx(metrics["mean"])
+
 
 @pytest.fixture(scope="module")
 def cbir_root(tmp_path_factory):

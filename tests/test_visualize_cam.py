@@ -113,3 +113,42 @@ def test_visualize_results_grid(tmp_path):
         max_rank=5,
     )
     assert out.is_file()
+
+
+def test_fullgrad_cam(small_model):
+    """FullGrad: aggregates |bias × grad| over every conv/BN bias layer plus
+    the input-gradient term (reference utils/cam.py:30, the 9th method)."""
+    from visiondk_tpu.utils.cam import ClassActivationMaper, discover_bias_layers
+
+    model, variables, x = small_model
+    layers = discover_bias_layers(model, variables, x)
+    # resnet18 has BN after every conv: stem + 8 blocks x >=2 + downsamples
+    assert len(layers) >= 10, sorted(layers)
+    for path, (shape, bias) in layers.items():
+        assert len(shape) == 4, (path, shape)
+        assert bias.shape == (shape[-1],), (path, shape, bias.shape)
+
+    cam = ClassActivationMaper(
+        model, method="fullgrad", variables=variables, example=x,
+        backbone_name="resnet18",
+    )
+    img = np.zeros((32, 32, 3), np.uint8)
+    overlay = cam(
+        image=img,
+        input_tensor=np.random.default_rng(1).normal(size=(1, 32, 32, 3)).astype(np.float32),
+    )
+    assert overlay.shape == (32, 32, 3)
+    assert overlay.dtype == np.uint8
+    # saliency is non-degenerate: overlay differs from the plain image
+    assert overlay.std() > 0
+
+
+def test_cam_methods_cover_reference_list():
+    """The reference imports 9 methods (utils/cam.py:22-31); all are offered."""
+    from visiondk_tpu.utils.cam import CAM_METHODS
+
+    reference_nine = {
+        "gradcam", "hirescam", "scorecam", "gradcampp", "ablationcam",
+        "xgradcam", "eigencam", "fullgrad", "eigengradcam",
+    }
+    assert reference_nine.issubset(set(CAM_METHODS))

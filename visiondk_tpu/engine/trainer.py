@@ -196,7 +196,10 @@ class CenterProcessor:
                 task="classification" if self.task == "classification" else "embedding",
                 mixup=mixup,
                 sam=self.sam_cfg,
-                ohem=self.ohem_cfg if not mixup else self.ohem_cfg,
+                # OHEM coexists with mixup (reference filters the batch before
+                # the mixed forward, train.py:114-117): the mask is computed on
+                # the clean images and weights both mixed loss terms.
+                ohem=self.ohem_cfg,
                 mean=self.data_processor.normalization[0],
                 std=self.data_processor.normalization[1],
             )
@@ -208,6 +211,46 @@ class CenterProcessor:
     def _shard_batch(self, batch: Dict[str, np.ndarray]):
         arrays = {k: v for k, v in batch.items() if k != "valid"}
         return jax.device_put(arrays, self.mesh.batch)
+
+    def _epoch_strategy(self, epoch: int, lossfn, aug_epoch: int, log: bool = True):
+        """Apply this epoch's strategy mutations (reference
+        vision_engine.py:344-375) and return (lossfn, mixup_active).
+
+        Pure function of the epoch number given construction-time config, so a
+        resume replays epochs [0, start) with ``log=False`` to reconstruct the
+        augment pipeline / focal swap / progressive size — the reference
+        forgets all of these on resume (its ``==`` triggers never re-fire,
+        vision_engine.py:344-375); replaying fixes that latent bug.
+        """
+        dp = self.data_processor
+        warm_ep = self.hyp_cfg["warm_ep"]
+        primary = self.mesh.is_primary() and log
+        if epoch == 0:
+            dp.set_augment("train", None)
+        if epoch == warm_ep:
+            dp.restore_train_augment()
+            if self.focal_fn is not None:
+                lossfn = self.focal_fn
+            if primary and self.mixup_ratio > 0 and self.mixup_duration > 0:
+                self.logger.both("Mixup start up")
+        mixup_active = (
+            self.mixup_ratio > 0
+            and self.mixup_duration > 0
+            and warm_ep <= epoch < warm_ep + self.mixup_duration
+        )
+        if (
+            self.mixup_ratio > 0 and self.mixup_duration > 0
+            and epoch == warm_ep + self.mixup_duration and primary
+        ):
+            self.logger.both("Mixup end")
+        dp.auto_aug_weaken(epoch, milestone=aug_epoch)
+        if self.prog_learn:
+            for node, size in zip(self.resize_chnodes, self.imgsz_milestone):
+                if epoch == node:
+                    dp.set_train_size(size)
+                    if primary:
+                        self.logger.both(f"progressive resize -> {size}")
+        return lossfn, mixup_active
 
     # --------------------------------------------------------- classification
 
@@ -261,36 +304,17 @@ class CenterProcessor:
             )
             logger.console(head)
 
+        # -- resume: replay strategy milestones for the skipped epochs so the
+        # augment pipeline / focal swap / progressive size match an
+        # uninterrupted run (reference's latent bug: vision_engine.py:344-375)
+        for past in range(min(start_epoch, epochs)):
+            lossfn, _ = self._epoch_strategy(past, lossfn, aug_epoch, log=False)
+
         t0 = time.time()
         last_metrics: Dict[str, Any] = {}
         for epoch in range(start_epoch, epochs):
             # -- strategy control (vision_engine.py:344-375)
-            if epoch == 0:
-                dp.set_augment("train", None)
-                mixup_active = False
-            if epoch == warm_ep:
-                dp.restore_train_augment()
-                if self.focal_fn is not None:
-                    lossfn = self.focal_fn
-                if primary and self.mixup_ratio > 0 and self.mixup_duration > 0:
-                    logger.both("Mixup start up")
-            mixup_active = (
-                self.mixup_ratio > 0
-                and self.mixup_duration > 0
-                and warm_ep <= epoch < warm_ep + self.mixup_duration
-            )
-            if (
-                self.mixup_ratio > 0 and self.mixup_duration > 0
-                and epoch == warm_ep + self.mixup_duration and primary
-            ):
-                logger.both("Mixup end")
-            dp.auto_aug_weaken(epoch, milestone=aug_epoch)
-            if self.prog_learn:
-                for node, size in zip(self.resize_chnodes, self.imgsz_milestone):
-                    if epoch == node:
-                        dp.set_train_size(size)
-                        if primary:
-                            logger.both(f"progressive resize -> {size}")
+            lossfn, mixup_active = self._epoch_strategy(epoch, lossfn, aug_epoch)
 
             loss_key = "focal" if (lossfn is self.focal_fn) else self.loss_choice
             step = self._get_train_step(tx, (loss_key, mixup_active), lossfn, mixup_active)
@@ -303,8 +327,10 @@ class CenterProcessor:
             # dispatch pipeline.
             step_losses = []
             for i, batch in enumerate(train_loader):
+                # sequence seeding: collision-free for any (seed, epoch, step),
+                # unlike arithmetic mixing which collides past 10k steps/epoch
                 lam = (
-                    float(np.random.default_rng(self.seed * 100000 + epoch * 10000 + i).beta(
+                    float(np.random.default_rng([self.seed, epoch, i]).beta(
                         self.mixup_ratio, self.mixup_ratio
                     ))
                     if mixup_active
@@ -452,6 +478,13 @@ class CenterProcessor:
 
             if (epoch + 1) % save_freq == 0 or epoch == epochs - 1:
                 fitness_metrics = self._eval_embedding(embed_step, state)
+                # fitness scalar: pair-verification mean (face) or the first
+                # retrieval metric, MRR@smallest-cutoff (CBIR)
+                fitness = float(
+                    fitness_metrics["mean"]
+                    if "mean" in fitness_metrics
+                    else next(iter(fitness_metrics.values()))
+                )
                 if primary:
                     logger.both(fitness_metrics)
                     if self.metrics_writer is not None:
@@ -459,10 +492,15 @@ class CenterProcessor:
                             self.metrics_writer.add_scalar(f"Val_{k}", float(v), epoch)
                         self.metrics_writer.flush()
                     self.ckpt.save(
-                        f"Epoch_{epoch + 1}", state, epoch, best_fitness,
+                        f"Epoch_{epoch + 1}", state, epoch, max(best_fitness, fitness),
                         extra={"fitness": {k: float(v) for k, v in fitness_metrics.items()}},
                     )
+                    if fitness > best_fitness:
+                        best_fitness = fitness
+                        self.ckpt.save("best", state, epoch, best_fitness)
                     self.ckpt.save("last", state, epoch, best_fitness)
+                else:
+                    best_fitness = max(best_fitness, fitness)
         return fitness_metrics
 
     def _eval_embedding(self, embed_step, state) -> Dict[str, Any]:

@@ -17,11 +17,14 @@ activation is captured — and gradient-injected — with
 
 Both passes are jitted once per (method, shape) and reused across images.
 
-Supported methods (reference lists 9 from pytorch-grad-cam, utils/cam.py:22-33):
-gradcam, gradcampp, xgradcam, layercam, hirescam, eigencam, eigengradcam.
-(scorecam/ablationcam/fullgrad are omitted: they need per-channel ablation
-forwards — O(C) model evaluations per image — and the reference never enables
-them by default.)
+Supported methods — the reference's full 9-method import list
+(utils/cam.py:22-31: gradcam, hirescam, scorecam, gradcampp, ablationcam,
+xgradcam, eigencam, eigengradcam, fullgrad) plus layercam:
+- gradient methods run one capture + one injected-gradient backward;
+- ablationcam/scorecam run chunked O(C) perturbation sweeps;
+- fullgrad aggregates |bias × grad| over every conv/BN bias layer, captured
+  in a single backward by adding a differentiated zero to each layer output
+  (the JAX-native form of its per-layer bias-gradient hooks).
 """
 
 from __future__ import annotations
@@ -47,6 +50,7 @@ CAM_METHODS = (
     "eigengradcam",
     "ablationcam",   # O(C) forwards: per-channel ablation of the feature map
     "scorecam",      # O(C) forwards: activation-masked inputs
+    "fullgrad",      # |bias × grad| over all conv/BN bias layers + input-grad
 )
 _PERTURB_METHODS = ("ablationcam", "scorecam")
 _PERTURB_CHUNK = 64  # channels per jitted batch in the O(C) sweeps
@@ -106,6 +110,53 @@ def find_target_path(
     return matches[-1]
 
 
+def _tree_get(tree: Dict[str, Any], path: Tuple[str, ...]):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def discover_bias_layers(
+    model: nn.Module, variables: Dict[str, Any], example: Array
+) -> Dict[str, Tuple[Tuple[int, ...], np.ndarray]]:
+    """FullGrad's target set: every conv / BatchNorm with a (effective) bias
+    and a spatial output (pytorch-grad-cam's layer_with_2D_bias predicate).
+    Returns {module path: (output shape, per-channel bias)} — for BN the
+    effective inference bias  β − μ·γ/√(σ²+ε).
+    """
+    layers: Dict[str, Tuple[Tuple[int, ...], np.ndarray]] = {}
+
+    def interceptor(next_fun, args, kwargs, context):
+        out = next_fun(*args, **kwargs)
+        m = context.module
+        if context.method_name != "__call__" or not hasattr(out, "ndim") or out.ndim != 4:
+            return out
+        try:
+            if isinstance(m, nn.Conv):
+                if not m.use_bias:
+                    return out
+                bias = np.asarray(_tree_get(variables["params"], m.path)["bias"], np.float32)
+            elif isinstance(m, nn.BatchNorm):
+                p = _tree_get(variables["params"], m.path) if (m.use_scale or m.use_bias) else {}
+                bs = _tree_get(variables["batch_stats"], m.path)
+                scale = np.asarray(p["scale"], np.float32) if m.use_scale else 1.0
+                beta = np.asarray(p["bias"], np.float32) if m.use_bias else 0.0
+                mean = np.asarray(bs["mean"], np.float32)
+                var = np.asarray(bs["var"], np.float32)
+                bias = beta - mean * scale / np.sqrt(var + m.epsilon)
+            else:
+                return out
+        except KeyError:
+            return out
+        layers[_path_str(m.path)] = (tuple(out.shape), bias)
+        return out
+
+    with nn.intercept_methods(interceptor):
+        model.apply(variables, example, train=False)
+    return layers
+
+
 def _to_spatial(fmap: np.ndarray, drop_cls: bool) -> np.ndarray:
     """[H,W,C] passthrough; [N,C] token map → [h,w,C] (reference's ViT/Swin
     reshape_transform, utils/cam.py:116-135)."""
@@ -139,8 +190,12 @@ class ClassActivationMaper:
         self.model = model
         self.method = method
         self.variables = variables
-        self.target_path = find_target_path(
-            model, variables, example, backbone_name, target_layer
+        # fullgrad aggregates over ALL bias layers; a single target is not used
+        # (pytorch-grad-cam likewise ignores target_layers for FullGrad)
+        self.target_path = (
+            ""
+            if method == "fullgrad"
+            else find_target_path(model, variables, example, backbone_name, target_layer)
         )
         self._is_token_map = bool(re.search(r"norm1$", self.target_path))
 
@@ -199,6 +254,37 @@ class ClassActivationMaper:
         self._grad = jax.jit(score_grad)
         self._logits = jax.jit(lambda x: mdl.apply(variables_, x, train=False))
         self._scores_inject = jax.jit(scores_inject)
+
+        if method == "fullgrad":
+            self._bias_layers = discover_bias_layers(mdl, variables_, example)
+            bias_shapes = {p: s for p, (s, _) in self._bias_layers.items()}
+
+            def fullgrad_grads(x: Array, class_idx: Array):
+                """d(score)/d(input) and d(score)/d(each bias-layer output),
+                all in ONE backward: every target output gets a differentiated
+                zero added, so jax.grad w.r.t. the zeros dict is the full set
+                of layer-output gradients (hook semantics, one pass)."""
+
+                def score(x_in, eps):
+                    def interceptor(next_fun, args, kwargs, context):
+                        out = next_fun(*args, **kwargs)
+                        p = _path_str(context.module.path)
+                        if (
+                            context.method_name == "__call__"
+                            and p in eps
+                            and tuple(out.shape) == tuple(eps[p].shape)
+                        ):
+                            return out + eps[p].astype(out.dtype)
+                        return out
+
+                    with nn.intercept_methods(interceptor):
+                        logits = mdl.apply(variables_, x_in, train=False)
+                    return jnp.take_along_axis(logits, class_idx[:, None], axis=1).sum()
+
+                eps0 = {p: jnp.zeros(s, jnp.float32) for p, s in bias_shapes.items()}
+                return jax.grad(score, argnums=(0, 1))(x, eps0)
+
+            self._fullgrad = jax.jit(fullgrad_grads)
 
     # ------------------------------------------------------------ weights
 
@@ -305,6 +391,29 @@ class ClassActivationMaper:
         x = jnp.asarray(input_tensor)
         if class_idx is None:
             class_idx = int(np.argmax(np.asarray(self._logits(x))[0]))
+
+        if self.method == "fullgrad":
+            gx, geps = self._fullgrad(x, jnp.asarray([class_idx], jnp.int32))
+            h_in, w_in = x.shape[1], x.shape[2]
+
+            def term(m: np.ndarray) -> np.ndarray:
+                """[H,W,C] saliency → per-channel min-max scale → resize to
+                input → sum channels (pytorch-grad-cam's scale+aggregate)."""
+                m = np.abs(m)
+                mn = m.min(axis=(0, 1), keepdims=True)
+                mx = m.max(axis=(0, 1), keepdims=True)
+                m = (m - mn) / np.maximum(mx - mn, 1e-8)
+                r = np.asarray(
+                    jax.image.resize(jnp.asarray(m), (h_in, w_in, m.shape[-1]), "bilinear")
+                )
+                return r.sum(-1)
+
+            cam = term(np.asarray(gx, np.float32)[0] * np.asarray(x, np.float32)[0])
+            for p, (_, bias) in self._bias_layers.items():
+                g = np.asarray(geps[p], np.float32)[0]  # [H, W, C]
+                cam = cam + term(g * bias)
+            return self._finish(image, cam)
+
         fmap = self._capture(x)
 
         if self.method in _PERTURB_METHODS:

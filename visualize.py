@@ -36,7 +36,7 @@ def parse_opt():
     p.add_argument("--cam", action="store_true", help="GradCAM overlay")
     p.add_argument("--cam_method", default="gradcam",
                    help="gradcam|gradcampp|xgradcam|layercam|hirescam|eigencam|"
-                        "eigengradcam|ablationcam|scorecam")
+                        "eigengradcam|ablationcam|scorecam|fullgrad")
     p.add_argument("--ema", action="store_true", help="use EMA weights")
     p.add_argument("--class_json", default=None, help="class_indices.json path (defaults to run dir)")
     p.add_argument("--badcase", action="store_true", help="organize badcases")
