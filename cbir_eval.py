@@ -24,6 +24,12 @@ def parse_opt():
     p.add_argument(
         "--metrics", nargs="+", default=["mrr", "recall", "precision", "auc", "ndcg"]
     )
+    p.add_argument(
+        "--embedding_cache", default=None,
+        help="memmap path for gallery embeddings: loaded when present and "
+             "row-consistent, written after extraction otherwise "
+             "(reference memmap_save_path/memmap_load_embedding)",
+    )
     return p.parse_args()
 
 
@@ -57,6 +63,7 @@ def main(opt):
         metrics=opt.metrics,
         cutoffs=opt.cutoffs,
         mesh=cp.mesh.mesh,
+        gallery_cache=opt.embedding_cache,
     )
     for k, v in metrics.items():
         print(f"{k}: {v}")

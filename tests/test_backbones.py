@@ -1,38 +1,43 @@
-"""Model-zoo smoke tests: every registered backbone initializes, runs a
+"""Model-zoo smoke tests: EVERY registered backbone initializes and runs a
 forward pass (logits / feature / unpooled modes) with static shapes."""
 
 import numpy as np
 import pytest
 
-# (name, input size) — sizes chosen small where the architecture allows
-CASES = [
-    ("resnet18", 64),
-    ("resnet50", 64),
-    ("resnet50d", 64),
-    ("wide_resnet101_2", 64),
-    ("resnext50_32x4d", 64),
-    ("legacy_seresnet50", 64),
-    ("convnext_tiny", 64),
-    ("mobilenetv3_large_100", 64),
-    ("mobilenetv3_small_100", 64),
-    ("efficientnetv2_s", 64),
-    ("vit_small_patch16_224", 64),
-    ("swin_tiny_patch4_window7_224", 224),
-]
+from visiondk_tpu.models.backbones import BACKBONES
 
 
-@pytest.mark.parametrize("name,size", CASES)
-def test_backbone_classification_forward(name, size):
+def _size_for(name: str) -> int:
+    """Smallest input each architecture admits: Swin needs the full pyramid
+    (window 7 × 32x downsample → 224; SwinV2 window 8 → 256); ViT needs a
+    patch multiple; CNNs run at 64."""
+    if name.startswith("swinv2"):
+        return 256
+    if name.startswith("swin"):
+        return 224
+    if "patch14" in name:
+        return 28
+    if "patch16" in name or "patch8" in name:
+        return 32
+    return 64
+
+
+def _batch_for(name: str) -> int:
+    # the huge/large transformers are init-cost-bound on CPU; bs 1 suffices
+    return 1 if any(t in name for t in ("huge", "large", "base")) else 2
+
+
+@pytest.mark.parametrize("name", sorted(BACKBONES))
+def test_backbone_classification_forward(name):
     import jax
     import jax.numpy as jnp
 
-    from visiondk_tpu.models.backbones import BACKBONES
-
+    size, bs = _size_for(name), _batch_for(name)
     model = BACKBONES.create(name, num_classes=7)
-    x = jnp.zeros((2, size, size, 3), jnp.float32)
+    x = jnp.zeros((bs, size, size, 3), jnp.float32)
     variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False)
     out = model.apply(variables, x, train=False)
-    assert out.shape == (2, 7)
+    assert out.shape == (bs, 7)
     assert out.dtype == jnp.float32
     assert np.isfinite(np.asarray(out)).all()
 

@@ -1,6 +1,7 @@
 """torch→JAX weight converter tests: numeric parity of the tensor-layout
-rules (conv OIHW→HWIO, linear transpose, BN stats) and end-to-end merges for
-torchvision-ResNet / timm-ViT naming."""
+rules (conv OIHW→HWIO, linear transpose, BN stats) and the npz round-trip.
+End-to-end logits parity against REAL torch models lives in
+tests/test_torch_parity.py."""
 
 import numpy as np
 import pytest
@@ -88,96 +89,6 @@ def _resnet18_state_dict(num_classes=5):
     sd["fc.weight"] = torch.tensor(rng.normal(size=(num_classes, 512)).astype(np.float32) * 0.05)
     sd["fc.bias"] = torch.tensor(np.zeros(num_classes, np.float32))
     return sd
-
-
-def test_resnet18_convert_and_merge():
-    import jax
-    import jax.numpy as jnp
-
-    from visiondk_tpu.models.backbones import BACKBONES
-    from visiondk_tpu.models.convert import convert_state_dict, merge_converted
-
-    sd = _resnet18_state_dict()
-    converted = convert_state_dict(sd, "resnet18")
-
-    model = BACKBONES.create("resnet18", num_classes=5)
-    variables = model.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3)), train=False)
-
-    class Log:
-        msg = ""
-
-        def both(self, m):
-            Log.msg = m
-
-    new_params, new_bs = merge_converted(
-        variables["params"], variables["batch_stats"], converted, logger=Log()
-    )
-    assert "skipped 0 " in Log.msg, Log.msg
-    # forward runs with the merged weights
-    out = model.apply(
-        {"params": new_params, "batch_stats": new_bs},
-        jnp.ones((1, 64, 64, 3)), train=False,
-    )
-    assert out.shape == (1, 5)
-    assert np.isfinite(np.asarray(out)).all()
-    # fc weights actually landed
-    np.testing.assert_allclose(
-        np.asarray(new_params["fc"]["kernel"]), sd["fc.weight"].numpy().T, atol=1e-6
-    )
-
-
-def test_vit_convert_and_merge():
-    import jax
-    import jax.numpy as jnp
-
-    from visiondk_tpu.models.backbones.vit import VisionTransformer
-    from visiondk_tpu.models.convert import convert_state_dict, merge_converted
-
-    rng = np.random.default_rng(0)
-    C, H, depth, P, n_cls = 64, 2, 2, 16, 3
-    N = (32 // P) ** 2 + 1
-    sd = {
-        "cls_token": torch.tensor(rng.normal(size=(1, 1, C)).astype(np.float32)),
-        "pos_embed": torch.tensor(rng.normal(size=(1, N, C)).astype(np.float32)),
-        "patch_embed.proj.weight": torch.tensor(rng.normal(size=(C, 3, P, P)).astype(np.float32)),
-        "patch_embed.proj.bias": torch.tensor(np.zeros(C, np.float32)),
-        "norm.weight": torch.tensor(np.ones(C, np.float32)),
-        "norm.bias": torch.tensor(np.zeros(C, np.float32)),
-        "head.weight": torch.tensor(rng.normal(size=(n_cls, C)).astype(np.float32)),
-        "head.bias": torch.tensor(np.zeros(n_cls, np.float32)),
-    }
-    for i in range(depth):
-        for ln in ("norm1", "norm2"):
-            sd[f"blocks.{i}.{ln}.weight"] = torch.tensor(np.ones(C, np.float32))
-            sd[f"blocks.{i}.{ln}.bias"] = torch.tensor(np.zeros(C, np.float32))
-        sd[f"blocks.{i}.attn.qkv.weight"] = torch.tensor(rng.normal(size=(3 * C, C)).astype(np.float32))
-        sd[f"blocks.{i}.attn.qkv.bias"] = torch.tensor(np.zeros(3 * C, np.float32))
-        sd[f"blocks.{i}.attn.proj.weight"] = torch.tensor(rng.normal(size=(C, C)).astype(np.float32))
-        sd[f"blocks.{i}.attn.proj.bias"] = torch.tensor(np.zeros(C, np.float32))
-        sd[f"blocks.{i}.mlp.fc1.weight"] = torch.tensor(rng.normal(size=(4 * C, C)).astype(np.float32))
-        sd[f"blocks.{i}.mlp.fc1.bias"] = torch.tensor(np.zeros(4 * C, np.float32))
-        sd[f"blocks.{i}.mlp.fc2.weight"] = torch.tensor(rng.normal(size=(C, 4 * C)).astype(np.float32))
-        sd[f"blocks.{i}.mlp.fc2.bias"] = torch.tensor(np.zeros(C, np.float32))
-
-    converted = convert_state_dict(sd, "vit_tiny_test")
-    model = VisionTransformer(
-        patch_size=P, embed_dim=C, depth=depth, num_heads=H, num_classes=n_cls
-    )
-    variables = model.init(
-        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-        jnp.zeros((1, 32, 32, 3)), train=False,
-    )
-
-    class Log:
-        msg = ""
-
-        def both(self, m):
-            Log.msg = m
-
-    new_params, _ = merge_converted(variables["params"], {}, converted, logger=Log())
-    assert "skipped 0 " in Log.msg, Log.msg
-    out = model.apply({"params": new_params}, jnp.ones((1, 32, 32, 3)), train=False)
-    assert out.shape == (1, n_cls)
 
 
 def test_npz_roundtrip(tmp_path):

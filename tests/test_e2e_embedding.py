@@ -191,3 +191,56 @@ def test_embedding_resume(cbir_root, tmp_path, mesh8):
     metrics = cp2.run_embedding(resume="last", save_freq=1)
     assert "MRR@1" in metrics
     assert (tmp_path / "r" / "Epoch_3").exists()
+
+
+def test_cbir_gallery_embedding_cache(cbir_root, tmp_path, mesh8):
+    """gallery_cache memmap: first eval writes it, second eval reuses it
+    without re-embedding the gallery; stale caches (row mismatch) are ignored
+    (reference memmap path, cbir/evaluation.py:111-151)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.data.datasets import CBIRDatasets
+    from visiondk_tpu.data.transforms import create_aug_transforms
+    from visiondk_tpu.engine import cbir_eval
+    from visiondk_tpu.engine.state import create_train_state
+    from visiondk_tpu.engine.steps import StepConfig, make_embed_step
+    from visiondk_tpu.models.factory import get_model
+    import optax
+
+    cfgs = _embed_cfgs(cbir_root, "cbir")
+    model = get_model(cfgs["model"], dtype=jnp.float32)
+    rng = jax.random.key(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((2, SIZE, SIZE, 3)), jnp.zeros((2,), jnp.int32), train=False,
+    )
+    state = create_train_state(variables, optax.sgd(0.0))
+    base_step = make_embed_step(model, StepConfig(), use_ema=False)
+    calls = {"n": 0}
+
+    def counting_step(state, batch):
+        calls["n"] += 1
+        return base_step(state, batch)
+
+    aug = create_aug_transforms(cfgs["data"]["val"]["augment"])
+    query, gallery = CBIRDatasets.build(str(cbir_root), transforms=aug)
+    cache = str(tmp_path / "gallery.emb")
+
+    m1 = cbir_eval.valuate(counting_step, state, query, gallery,
+                           batch_size=8, gallery_cache=cache)
+    calls_first = calls["n"]
+    assert (tmp_path / "gallery.emb").exists()
+    assert (tmp_path / "gallery.emb.meta.json").exists()
+
+    m2 = cbir_eval.valuate(counting_step, state, query, gallery,
+                           batch_size=8, gallery_cache=cache)
+    # second pass embeds only the query set
+    assert calls["n"] - calls_first < calls_first
+    for k in m1:
+        assert m1[k] == pytest.approx(m2[k]), (k, m1[k], m2[k])
+
+    # stale cache (wrong row count) is ignored, not blindly loaded
+    emb = cbir_eval.load_embedding_cache(cache)
+    cbir_eval.save_embedding_cache(cache, emb[:-1])
+    assert cbir_eval.load_embedding_cache(cache, expected_rows=emb.shape[0]) is None

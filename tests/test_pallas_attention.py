@@ -11,9 +11,13 @@ import pytest
 
 @pytest.fixture(scope="module")
 def interp():
-    from jax.experimental.pallas import tpu as pltpu
+    # classic interpret=True threaded through the kernels: unlike
+    # pltpu.force_tpu_interpret_mode (thread-barrier TPU-core simulation,
+    # deadlocks under shard_map on a multi-device host), this one is pure
+    # traced jax and matches the production gate in models/layers.py
+    from visiondk_tpu.ops.pallas import force_interpret
 
-    with pltpu.force_tpu_interpret_mode():
+    with force_interpret():
         yield
 
 
@@ -103,3 +107,85 @@ def test_fused_window_attention_matches_fallback(interp):
         jax.tree_util.tree_flatten_with_path(gp)[0],
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+def test_fused_attention_sharded_equals_single(mesh8, monkeypatch):
+    """The fused kernel under a *sharded* jit (shard_map over the data axis)
+    matches the single-device path — fwd and grads. This is the multi-chip
+    configuration (round-1 gap: the kernel was gated to device_count()==1 and
+    multi-chip silently lost the fused win)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import visiondk_tpu.ops.pallas as vp
+    from visiondk_tpu.models.layers import Attention
+    from visiondk_tpu.ops.pallas import force_interpret
+    from visiondk_tpu.parallel.mesh import with_current_mesh
+
+    # prove the fused gate actually opens (a silent XLA fallback would make
+    # this test a trivial XLA-vs-XLA comparison)
+    kernel_traces = {"n": 0}
+    orig = vp.fused_qkv_attention
+
+    def counting(qkv, heads):
+        kernel_traces["n"] += 1
+        return orig(qkv, heads)
+
+    monkeypatch.setattr(vp, "fused_qkv_attention", counting)
+
+    B, N, C, H = 16, 37, 64, 2
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, N, C)).astype(np.float32)
+
+    attn = Attention(num_heads=H, dtype=jnp.float32, use_fused=True)
+    variables = attn.init({"params": jax.random.key(0)}, jnp.asarray(x))
+
+    def loss(v, xx):
+        return jnp.sum(attn.apply(v, xx) ** 2)
+
+    with force_interpret():
+        # reference: no mesh published + multi-device host → the gate must
+        # refuse the bare kernel and take the XLA path (cross-implementation
+        # reference for the sharded fused run below)
+        with with_current_mesh(None):
+            ref = attn.apply(variables, jnp.asarray(x))
+            gref = jax.grad(loss)(variables, jnp.asarray(x))
+        assert kernel_traces["n"] == 0  # XLA fallback, kernel untouched
+
+        # sharded jit over the 8-device mesh, batch split on 'data'
+        mesh = mesh8.mesh
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        vs = jax.device_put(variables, NamedSharding(mesh, P()))
+        with with_current_mesh(mesh):
+            out = jax.jit(attn.apply)(vs, xs)
+            gsh = jax.jit(jax.grad(loss))(vs, xs)
+
+    assert kernel_traces["n"] >= 1  # the sharded run used the fused kernel
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gsh)[0],
+        jax.tree_util.tree_flatten_with_path(gref)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
+                                   err_msg=str(pa))
+
+
+def test_fused_attention_indivisible_batch_falls_back(mesh8):
+    """B not divisible by the data axis → XLA path, same numerics, no crash."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.layers import Attention
+    from visiondk_tpu.ops.pallas import force_interpret
+    from visiondk_tpu.parallel.mesh import with_current_mesh
+
+    B, N, C, H = 3, 10, 32, 2
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    attn = Attention(num_heads=H, dtype=jnp.float32, use_fused=True)
+    variables = attn.init({"params": jax.random.key(0)}, x)
+    plain = attn.apply(variables, x)
+    with force_interpret(), with_current_mesh(mesh8.mesh):
+        out = attn.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plain), atol=1e-4, rtol=1e-4)

@@ -9,6 +9,8 @@ by the sharded exact top-k GEMM (visiondk_tpu.ops.retrieval).
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -120,6 +122,35 @@ class CBIRMetrics:
         self.metrics.clear()
 
 
+# ----------------------------------------------------------- embedding cache
+
+
+def save_embedding_cache(path: str, embeddings: np.ndarray) -> None:
+    """Memmap save of gallery embeddings (reference cbir/evaluation.py:135-151)
+    with a sidecar meta file recording shape/dtype for self-describing load."""
+    mm = np.memmap(path, shape=embeddings.shape, mode="w+", dtype=embeddings.dtype)
+    step = 10000
+    for i in range(0, embeddings.shape[0], step):
+        mm[i : i + step] = embeddings[i : i + step]
+    mm.flush()
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"shape": list(embeddings.shape), "dtype": str(embeddings.dtype)}, f)
+
+
+def load_embedding_cache(path: str, expected_rows: Optional[int] = None):
+    """Read-only memmap of a cached gallery; None when absent or stale
+    (row count no longer matches the dataset — safer than the reference's
+    unchecked reshape, cbir/evaluation.py:124-129)."""
+    if not (os.path.exists(path) and os.path.exists(path + ".meta.json")):
+        return None
+    with open(path + ".meta.json") as f:
+        meta = json.load(f)
+    shape = tuple(meta["shape"])
+    if expected_rows is not None and shape[0] != expected_rows:
+        return None
+    return np.memmap(path, mode="r", dtype=np.dtype(meta["dtype"])).reshape(shape)
+
+
 # ------------------------------------------------------------------ valuate
 
 
@@ -175,12 +206,26 @@ def valuate(
     cutoffs: Sequence[int] = (1, 3, 5),
     mesh=None,
     vis: bool = False,
+    gallery_cache: Optional[str] = None,
 ) -> Dict[str, Any]:
     """End-to-end CBIR eval (reference cbir/evaluation.py:226-291): embed
     query+gallery → exact top-k IP search (sharded GEMM replaces faiss) →
-    metrics. ``vis=True`` additionally returns raw results for visualization."""
+    metrics. ``vis=True`` additionally returns raw results for visualization.
+
+    ``gallery_cache``: memmap path for the gallery embeddings (reference's
+    memmap_save_path/memmap_load_embedding, cbir/evaluation.py:111-151) —
+    loaded when present and row-consistent, written after extraction
+    otherwise, so repeated evals skip re-embedding the gallery."""
     q_emb, q_ids = _extract(embed_step, state, query_dataset, batch_size)
-    g_emb, g_keys = _extract(embed_step, state, gallery_dataset, batch_size)
+    g_emb = (
+        load_embedding_cache(gallery_cache, expected_rows=len(gallery_dataset.images))
+        if gallery_cache
+        else None
+    )
+    if g_emb is None:
+        g_emb, _ = _extract(embed_step, state, gallery_dataset, batch_size)
+        if gallery_cache:
+            save_embedding_cache(gallery_cache, g_emb)
     gallery_names = (
         gallery_dataset.images
         if not isinstance(gallery_dataset.images[0], int)

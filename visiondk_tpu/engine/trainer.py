@@ -43,7 +43,7 @@ from visiondk_tpu.engine.steps import (
 )
 from visiondk_tpu.losses import create_lossfn
 from visiondk_tpu.models.factory import get_model
-from visiondk_tpu.parallel.mesh import MeshContext, build_mesh
+from visiondk_tpu.parallel.mesh import MeshContext, build_mesh, set_current_mesh
 from visiondk_tpu.utils.logger import SmartLogger
 from visiondk_tpu.utils.meters import AverageMeter
 from visiondk_tpu.utils.metrics_writer import MetricsWriter
@@ -67,6 +67,9 @@ class CenterProcessor:
         self.task = self.model_cfg["task"]
         self.project = Path(project)
         self.mesh = mesh or build_mesh()
+        # publish for kernel-owning layers: pallas calls inside a sharded jit
+        # need the mesh for their shard_map wrap (models/layers.py Attention)
+        set_current_mesh(self.mesh.mesh)
         self.compute_dtype = compute_dtype
         self.seed = seed
         self.training = train
@@ -523,6 +526,9 @@ class CenterProcessor:
             metrics=mcfg.get("metrics", ["mrr", "recall", "precision", "auc", "ndcg"]),
             cutoffs=mcfg.get("cutoffs", [1, 3, 5]),
             mesh=self.mesh.mesh,
+            # NOT used during training (the model changes every epoch); only a
+            # config-forced path enables it, mirroring the reference's opt-in
+            gallery_cache=self.data_cfg["val"].get("embedding_cache"),
         )
 
     # ------------------------------------------------------------ load_from

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from visiondk_tpu.models.backbones import BACKBONES
-from visiondk_tpu.models.layers import DropPath
+from visiondk_tpu.models.layers import DropPath, gelu
 
 Array = Any
 
@@ -36,7 +36,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         y = nn.LayerNorm(dtype=self.dtype, name="norm")(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
-        y = nn.gelu(y)
+        y = gelu(y)  # erf in f32 (torch parity), tanh approx in bf16 (speed)
         y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)
         gamma = self.param(
             "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,), jnp.float32

@@ -25,6 +25,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from visiondk_tpu.ops.pallas._interpret import interpret_forced
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
@@ -111,6 +113,7 @@ def _attn_fwd_padded(q: Array, k: Array, v: Array, n_valid: int, scale: float) -
     flops = 2 * 2 * b * h * n * n * d
     return pl.pallas_call(
         kern,
+        interpret=interpret_forced(),
         grid=(b, h // hb),
         in_specs=[_b_spec(hb, n, d)] * 3,
         out_specs=_b_spec(hb, n, d),
@@ -129,6 +132,7 @@ def _attn_bwd_padded(
     kern = functools.partial(_bwd_kernel, n_valid=n_valid, scale=scale)
     return pl.pallas_call(
         kern,
+        interpret=interpret_forced(),
         grid=(b, h // hb),
         in_specs=[_b_spec(hb, n, d)] * 4,
         out_specs=[_b_spec(hb, n, d)] * 3,
@@ -274,6 +278,7 @@ def _fused_attention_padded(qkv: Array, heads: int, head_dim: int, n_valid: int)
     )
     return pl.pallas_call(
         kern,
+        interpret=interpret_forced(),
         grid=(b // rows,),
         in_specs=[_row_spec(np_, w, rows)],
         out_specs=_row_spec(np_, c, rows),
@@ -301,6 +306,7 @@ def _fused_vjp_bwd(heads, head_dim, n_valid, qkv, do):
     )
     dqkv = pl.pallas_call(
         kern,
+        interpret=interpret_forced(),
         grid=(b // rows,),
         in_specs=[_row_spec(np_, w, rows), _row_spec(np_, heads * head_dim, rows)],
         out_specs=_row_spec(np_, w, rows),

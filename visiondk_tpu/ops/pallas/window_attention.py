@@ -30,6 +30,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from visiondk_tpu.ops.pallas._interpret import interpret_forced
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
@@ -151,6 +153,7 @@ def _wattn_fwd(qkv, bias, ids, heads):
     )
     return pl.pallas_call(
         kern,
+        interpret=interpret_forced(),
         grid=(bw // r,),
         in_specs=[x_spec, bias_spec, ids_spec],
         out_specs=o_spec,
@@ -181,6 +184,7 @@ def _wattn_vjp_bwd(heads, res, do):
     )
     dqkv, dbias = pl.pallas_call(
         kern,
+        interpret=interpret_forced(),
         grid=(bw // r,),
         in_specs=[x_spec, bias_spec, ids_spec, o_spec],
         out_specs=[x_spec, bias_spec],  # dbias accumulates across cells

@@ -6,6 +6,9 @@ from visiondk_tpu.parallel.mesh import (
     replicated,
     shard_batch,
     class_sharded,
+    set_current_mesh,
+    current_mesh,
+    with_current_mesh,
 )
 
 __all__ = [
@@ -16,4 +19,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "class_sharded",
+    "set_current_mesh",
+    "current_mesh",
+    "with_current_mesh",
 ]

@@ -20,12 +20,43 @@ Rank-0-only host work (logging, checkpoints) maps to
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# ------------------------------------------------------------- current mesh
+#
+# Pallas kernels inside a *sharded* jit break the SPMD partitioner unless the
+# pallas_call is wrapped in a shard_map over the mesh. The model layers are
+# pure flax modules with no mesh argument, so the active mesh is published
+# here (by CenterProcessor / the driver entry) and read at trace time by the
+# layers that own kernels (models/layers.py Attention).
+
+_current_mesh: Optional[Mesh] = None
+
+
+def set_current_mesh(mesh: Optional[Mesh]) -> None:
+    global _current_mesh
+    _current_mesh = mesh
+
+
+def current_mesh() -> Optional[Mesh]:
+    return _current_mesh
+
+
+@contextlib.contextmanager
+def with_current_mesh(mesh: Optional[Mesh]):
+    global _current_mesh
+    prev = _current_mesh
+    _current_mesh = mesh
+    try:
+        yield
+    finally:
+        _current_mesh = prev
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,20 +139,50 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
-) -> None:
+    logger=None,
+) -> bool:
     """Multi-host bring-up: the torchrun/init_process_group analogue
     (reference main.py:15-16,37-40). On TPU pods ``jax.distributed
     .initialize()`` auto-discovers the coordinator from the TPU metadata, so
     all arguments are optional; non-TPU clusters pass them explicitly.
 
-    Idempotent: safe to call when already initialized or single-process.
+    Returns True when the distributed runtime was (newly) initialized.
+    Idempotent: a second call is a logged no-op. A genuinely failed bring-up
+    (bad coordinator, rank mismatch) RAISES — silently training on a
+    single-host mesh when the user asked for multi-host corrupts results.
+    The one swallowed case: no arguments AND no auto-discoverable cluster
+    environment, i.e. an intentional single-process run.
     """
+    def _log(msg: str) -> None:
+        if logger is not None:
+            logger.both(msg) if hasattr(logger, "both") else logger.info(msg)
+
+    already = getattr(
+        getattr(jax._src, "distributed", None), "global_state", None
+    )
+    if already is not None and getattr(already, "client", None) is not None:
+        _log("jax.distributed already initialized; skipping")
+        return False
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # already initialized, or single-process with no coordinator info
-        pass
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            _log("jax.distributed already initialized; skipping")
+            return False
+        raise
+    except ValueError:
+        if coordinator_address is None and num_processes is None and process_id is None:
+            # no explicit args and no cluster env to auto-detect:
+            # a plain single-process run, not a misconfiguration
+            _log("no cluster environment detected; running single-process")
+            return False
+        raise
+    _log(
+        f"jax.distributed initialized: process {jax.process_index()}"
+        f"/{jax.process_count()}"
+    )
+    return True

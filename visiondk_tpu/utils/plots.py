@@ -37,8 +37,11 @@ _COLORS = {
 
 def colorstr(*inputs):
     """colorstr('blue', 'bold', 'hello') or colorstr('hello') (default blue+bold)."""
-    *args, string = inputs if len(inputs) > 1 else ("blue", "bold", inputs[0])
-    return "".join(_COLORS[x] for x in args) + str(string) + _COLORS["end"]
+    if len(inputs) == 1:
+        styles, text = ("blue", "bold"), inputs[0]
+    else:
+        styles, text = inputs[:-1], inputs[-1]
+    return "".join(_COLORS[s] for s in styles) + str(text) + _COLORS["end"]
 
 
 class Annotator:
