@@ -107,6 +107,100 @@ def run(batch=128, train_iters=20, embed_iters=20, warmup=3):
     )
 
 
+def _make_toy_imagenet(root, n_classes=8, per_class=64, size=(500, 375)):
+    """Disk JPEG fixture matching BASELINE.md's host-decode conditions."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return
+    rng = np.random.default_rng(0)
+    for c in range(n_classes):
+        d = os.path.join(root, "train", f"class_{c}")
+        os.makedirs(d, exist_ok=True)
+        for i in range(per_class):
+            arr = rng.integers(0, 255, (size[1], size[0], 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, f"{i}.jpg"), quality=85)
+    open(marker, "w").close()
+
+
+def run_pipeline(batch=128, steps=8, warmup=2, workers=8):
+    """End-to-end train throughput fed by the REAL input pipeline
+    (disk JPEG → DataLoader host decode+augment → device step), next to a
+    loader-only drain. On this one-core dev host the loader ceiling is
+    ~100 img/s (BASELINE.md) — the point is proving compute/loader overlap:
+    train-fed throughput ≈ loader-only throughput.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.data.datasets import ImageDatasets
+    from visiondk_tpu.data.loader import DataLoader
+    from visiondk_tpu.data.transforms import create_aug_transforms
+
+    root = "/tmp/vdk_bench_data"
+    _make_toy_imagenet(root)
+    aug = create_aug_transforms(
+        [
+            {"random_crop_and_resize": {"size": 224}},
+            {"random_horizonflip": "no_params"},
+        ]
+    )
+    ds = ImageDatasets(root, "train", transforms=aug)
+    loader = DataLoader(
+        ds, batch, shuffle=True, drop_last=True, num_workers=workers, prefetch=6
+    )
+
+    def batches(n):
+        epoch = 0
+        got = 0
+        while got < n:
+            loader.set_epoch(epoch)
+            for b in loader:
+                yield b
+                got += 1
+                if got >= n:
+                    return
+            epoch += 1
+
+    # loader-only drain
+    t0 = time.perf_counter()
+    for b in batches(steps):
+        pass
+    loader_ips = batch * steps / (time.perf_counter() - t0)
+
+    # loader + train, overlap measured as device-wait fraction
+    state, step, *_ = build(batch)
+    lam = jnp.float32(0.0)
+    n = 0
+    t_start = None
+    for i, b in enumerate(batches(steps + warmup)):
+        dev = jax.device_put({"image": jnp.asarray(b["image"]), "label": jnp.asarray(b["label"])})
+        state, m = step(state, dev, lam)
+        if i == warmup - 1:
+            float(m["loss"])  # flush warmup/compile before timing
+            t_start = time.perf_counter()
+        elif i >= warmup:
+            n += 1
+    float(m["loss"])
+    total = time.perf_counter() - t_start
+    train_ips = batch * n / total
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline train images/sec (disk→DataLoader→step, bs=%d)" % batch,
+                "value": round(train_ips, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(train_ips / max(loader_ips, 1e-9), 3),
+                "loader_only_ips": round(loader_ips, 2),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import sys
 
@@ -115,5 +209,7 @@ if __name__ == "__main__":
 
         os.environ["JAX_PLATFORMS"] = "cpu"
         run(batch=8, train_iters=3, embed_iters=3, warmup=1)
+    elif "--pipeline" in sys.argv:
+        run_pipeline()
     else:
         run()

@@ -23,6 +23,17 @@ assert len(jax.devices()) == 8, jax.devices()
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _reset_current_mesh():
+    """CenterProcessor publishes its mesh process-globally (set_current_mesh)
+    and tests that construct one would otherwise leak it into later tests'
+    fused-kernel gates."""
+    yield
+    from visiondk_tpu.parallel.mesh import set_current_mesh
+
+    set_current_mesh(None)
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     from visiondk_tpu.parallel import build_mesh

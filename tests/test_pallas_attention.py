@@ -76,37 +76,122 @@ def test_vision_attention_fwd(interp):
     np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-4, rtol=1e-4)
 
 
-def test_fused_window_attention_matches_fallback(interp):
-    """Swin windowed kernel ≡ the XLA path (incl. shift mask + learned bias
-    gradient) — interpreter mode."""
+def _window_ref(qkv4, bias, ids, heads):
+    """Pure-XLA window attention on [B,H,W,3C] (the swin fallback math)."""
     import jax
     import jax.numpy as jnp
 
-    from visiondk_tpu.models.backbones.swin import WindowAttention, window_region_ids
+    from visiondk_tpu.models.backbones.swin import window_partition, window_reverse
 
-    H = W = 8
-    ws, shift = 4, 2
-    ids = window_region_ids(H, W, ws, shift)
-    nW = ids.shape[0]
-    Bp, C, heads = 2 * nW, 32, 2
+    B, H, W, c3 = qkv4.shape
+    C = c3 // 3
+    N = bias.shape[-1]
+    ws = int(round(N**0.5))
+    hd = C // heads
+    windows = window_partition(qkv4, ws).reshape(-1, N, c3)
+    Bp = windows.shape[0]
+    q, k, v = jnp.moveaxis(windows.reshape(Bp, N, 3, heads, hd), 2, 0)
+    q, k, v = (jnp.moveaxis(t, 2, 1).astype(jnp.float32) for t in (q, k, v))
+    a = jnp.einsum("bhqd,bhkd->bhqk", q * hd**-0.5, k) + bias[None]
+    if ids is not None:
+        mask = (np.asarray(ids)[:, None, :] != np.asarray(ids)[:, :, None]) * -100.0
+        nWt = mask.shape[0]
+        a = a.reshape(Bp // nWt, nWt, heads, N, N) + jnp.asarray(mask, jnp.float32)[None, :, None]
+        a = a.reshape(Bp, heads, N, N)
+    p = jax.nn.softmax(a, -1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    o = jnp.moveaxis(o, 1, 2).reshape(Bp, N, C)
+    return window_reverse(o.reshape(-1, ws, ws, C), ws, H, W)
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_fused_window_attention_kernel(interp, shift):
+    """v2 window kernel ≡ XLA math — fwd, dqkv, and the accumulated dbias —
+    for both W-MSA (no mask) and SW-MSA (region-id mask), with multi-window
+    grid cells (RB·RH·nW > 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.backbones.swin import window_region_ids
+    from visiondk_tpu.ops.pallas import fused_window_attention
+
+    B, H, W, heads, C, ws = 4, 8, 8, 2, 32, 4
+    N = ws * ws
+    ids_np = window_region_ids(H, W, ws, shift)
+    ids = jnp.asarray(ids_np) if shift else None
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(Bp, ws * ws, C)).astype(np.float32))
+    qkv = jnp.asarray(rng.normal(size=(B, H, W, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(heads, N, N)).astype(np.float32) * 0.1)
 
-    fused = WindowAttention(C, heads, ws, use_fused=True)
-    plain = WindowAttention(C, heads, ws, use_fused=False)
-    variables = plain.init({"params": jax.random.key(0)}, x, ids)
+    o = fused_window_attention(qkv, bias, ids, heads)
+    r = _window_ref(qkv, bias, ids_np if shift else None, heads)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=2e-4, rtol=2e-4)
 
-    of = fused.apply(variables, x, ids)
-    op = plain.apply(variables, x, ids)
-    np.testing.assert_allclose(np.asarray(of), np.asarray(op), atol=2e-4, rtol=2e-4)
+    def loss_fused(q, b):
+        return jnp.sum(fused_window_attention(q, b, ids, heads) ** 2)
 
-    gf = jax.grad(lambda v: jnp.sum(fused.apply(v, x, ids) ** 2))(variables)
-    gp = jax.grad(lambda v: jnp.sum(plain.apply(v, x, ids) ** 2))(variables)
-    for (pf, a), (_, b) in zip(
-        jax.tree_util.tree_flatten_with_path(gf)[0],
-        jax.tree_util.tree_flatten_with_path(gp)[0],
+    def loss_ref(q, b):
+        return jnp.sum(_window_ref(q, b, ids_np if shift else None, heads) ** 2)
+
+    gq1, gb1 = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+    gq2, gb2 = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(gq1), np.asarray(gq2), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb2), atol=1e-3, rtol=1e-3)
+
+
+def test_fused_window_attention_sharded_equals_single(interp, mesh8, monkeypatch):
+    """Swin WindowAttention under a sharded jit (shard_map over 'data', batch
+    split 8 ways) ≡ the XLA fallback — fwd and grads incl. the psum'd bias
+    gradient; proves the fused gate opens under the published mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import visiondk_tpu.ops.pallas as vp
+    from visiondk_tpu.models.backbones.swin import WindowAttention, window_region_ids
+    from visiondk_tpu.parallel.mesh import with_current_mesh
+
+    traces = {"n": 0}
+    orig = vp.fused_window_attention
+
+    def counting(*a, **k):
+        traces["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(vp, "fused_window_attention", counting)
+
+    B, H, W, C, heads, ws, shift = 16, 8, 8, 32, 2, 4, 2
+    ids = window_region_ids(H, W, ws, shift)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, H, W, C)).astype(np.float32)
+
+    attn = WindowAttention(C, heads, ws, dtype=jnp.float32)
+    variables = attn.init({"params": jax.random.key(0)}, jnp.asarray(x), ids)
+
+    def loss(v, xx):
+        return jnp.sum(attn.apply(v, xx, ids) ** 2)
+
+    with with_current_mesh(None):  # gate must refuse: no mesh, multi-device
+        ref = attn.apply(variables, jnp.asarray(x), ids)
+        gref = jax.grad(loss)(variables, jnp.asarray(x))
+    n0 = traces["n"]
+
+    mesh = mesh8.mesh
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    with with_current_mesh(mesh):
+        out = jax.jit(lambda v, xx: attn.apply(v, xx, ids))(vs, xs)
+        gsh = jax.jit(jax.grad(loss))(vs, xs)
+
+    assert traces["n"] > n0  # the sharded run actually used the kernel
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gsh)[0],
+        jax.tree_util.tree_flatten_with_path(gref)[0],
     ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3, err_msg=str(pa)
+        )
 
 
 def test_fused_attention_sharded_equals_single(mesh8, monkeypatch):
@@ -139,7 +224,12 @@ def test_fused_attention_sharded_equals_single(mesh8, monkeypatch):
     x = rng.normal(size=(B, N, C)).astype(np.float32)
 
     attn = Attention(num_heads=H, dtype=jnp.float32, use_fused=True)
-    variables = attn.init({"params": jax.random.key(0)}, jnp.asarray(x))
+    # init under no-mesh: a mesh leaked from an earlier test (via
+    # set_current_mesh) plus the module-scoped interp fixture would otherwise
+    # trace the kernel here and break the n==0 fallback assertion below
+    with with_current_mesh(None):
+        variables = attn.init({"params": jax.random.key(0)}, jnp.asarray(x))
+    kernel_traces["n"] = 0
 
     def loss(v, xx):
         return jnp.sum(attn.apply(v, xx) ** 2)

@@ -1,10 +1,11 @@
 """Swin Transformer (T/S/B) — the reference's default backbone
 (configs/classification/pet.yaml:26: swin_base_patch4_window7_224).
 
-TPU notes: window attention reshapes to [B·nW, ws², C] — a large leading
-batch of small matmuls, ideal MXU tiling; the shifted-window mask is a static
-additive bias (precomputed per stage resolution, no dynamic shapes); cyclic
-shift is ``jnp.roll`` (XLA lowers to cheap HBM-free slices).
+TPU notes: window attention runs as a fused Pallas kernel straight off the
+[B, H, W, 3C] QKV projection (ops/pallas/window_attention.py) — window
+(de)partition happens in VMEM and scores never touch HBM; the shifted-window
+mask is recomputed in-kernel from static region ids; cyclic shift is
+``jnp.roll``. XLA einsum fallback retained for CPU/export paths.
 """
 
 from __future__ import annotations
@@ -68,22 +69,32 @@ def shifted_window_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
 
 
 class WindowAttention(nn.Module):
+    """Window MSA over [B, H, W, C] feature maps.
+
+    TPU fast path: the fused Pallas window kernel
+    (ops/pallas/window_attention.py) consumes the QKV projection's natural
+    [B, H, W, 3C] layout — window (de)partition happens inside VMEM, the
+    relative-position bias stays kernel-resident, and the [B·nW, h, 49, 49]
+    score tensors never touch HBM (measured 51% of the Swin-B step on the
+    XLA path, benchmarks/swin_dissect.py). Falls back to the XLA einsum path
+    off-TPU, under a multi-device runtime with no published mesh, or for
+    indivisible batch/window shapes.
+    """
+
     dim: int
     num_heads: int
     window_size: int
     qkv_bias: bool = True
-    # The fused Pallas window kernel (ops/pallas/window_attention.py) is
-    # numerically equivalent but measured 6× SLOWER than XLA at swin shapes
-    # (105 vs 695 img/s swin-tiny train): the per-cell relative-bias DMA and
-    # D=32 quarter-tile lane slices dominate. Kept for future iteration;
-    # default stays on the XLA path.
-    use_fused: bool = False
+    use_fused: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, region_ids: np.ndarray) -> Array:
-        # x: [B', N, C] with N = ws²; region_ids: static [nW, N] int
-        Bp, N, C = x.shape
+        # x: [B, H, W, C]; region_ids: static [nH·nW, ws²] int (row-major
+        # windows; all-zero ⇒ W-MSA, no mask)
+        B, H, W, C = x.shape
+        ws = self.window_size
+        N = ws * ws
         h = self.num_heads
         hd = C // h
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
@@ -96,22 +107,62 @@ class WindowAttention(nn.Module):
         idx = relative_position_index(self.window_size)
         bias = jnp.transpose(
             table[idx.reshape(-1)].reshape(N, N, h), (2, 0, 1)
-        )  # [h, N, N]
+        )  # [h, N, N] f32
+        shifted = bool(region_ids.max() > 0)
 
-        if self.use_fused and jax.default_backend() == "tpu":
-            from visiondk_tpu.ops.pallas.window_attention import fused_window_attention
+        from visiondk_tpu.ops.pallas import interpret_forced
 
-            n_pad = max(-(-N // 128) * 128, 128)
-            # pad: key cols ≥ N get -inf through the bias (doubles as mask)
-            bias_p = jnp.pad(bias, ((0, 0), (0, n_pad - N), (0, n_pad - N)),
-                             constant_values=-1e30)
-            qkv_p = jnp.pad(qkv, ((0, 0), (0, n_pad - N), (0, 0)))
-            ids_p = jnp.asarray(
-                np.pad(region_ids, ((0, 0), (0, n_pad - N)), constant_values=0)
-            )
-            out = fused_window_attention(qkv_p, bias_p, ids_p, h)[:, :N, :]
+        fused_ok = (
+            self.use_fused
+            and isinstance(B, int)  # symbolic batch (jax.export) → XLA path
+            and H % ws == 0
+            and W % ws == 0
+            and (jax.default_backend() == "tpu" or interpret_forced())
+        )
+        mesh = None
+        if fused_ok and jax.device_count() > 1:
+            from visiondk_tpu.parallel.mesh import current_mesh
+
+            mesh = current_mesh()
+            n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+            # a bare pallas custom call inside a sharded jit fails the SPMD
+            # partitioner → only run it under an explicit shard_map
+            if mesh is None or B % n_data != 0:
+                fused_ok = False
+
+        if fused_ok:
+            from functools import partial
+
+            from jax.sharding import PartitionSpec as P
+
+            from visiondk_tpu.ops.pallas import fused_window_attention
+
+            ids_arr = jnp.asarray(region_ids) if shifted else None
+            if mesh is not None and mesh.shape.get("data", 1) > 1:
+                if shifted:
+                    kernel = jax.shard_map(
+                        lambda q, b, i: fused_window_attention(q, b, i, h),
+                        mesh=mesh,
+                        in_specs=(P("data"), P(), P()),
+                        out_specs=P("data"),
+                        check_vma=False,
+                    )
+                    out = kernel(qkv, bias, ids_arr)
+                else:
+                    kernel = jax.shard_map(
+                        lambda q, b: fused_window_attention(q, b, None, h),
+                        mesh=mesh,
+                        in_specs=(P("data"), P()),
+                        out_specs=P("data"),
+                        check_vma=False,
+                    )
+                    out = kernel(qkv, bias)
+            else:
+                out = fused_window_attention(qkv, bias, ids_arr, h)
         else:
-            q, k, v = jnp.moveaxis(qkv.reshape(Bp, N, 3, h, hd), 2, 0)
+            windows = window_partition(qkv, ws).reshape(-1, N, 3 * C)  # [B·nW', N, 3C]
+            Bp = windows.shape[0]
+            q, k, v = jnp.moveaxis(windows.reshape(Bp, N, 3, h, hd), 2, 0)
             q = jnp.moveaxis(q, 2, 1)  # [B', h, N, hd]
             k = jnp.moveaxis(k, 2, 1)
             v = jnp.moveaxis(v, 2, 1)
@@ -119,7 +170,7 @@ class WindowAttention(nn.Module):
                 "bhqd,bhkd->bhqk", q * hd**-0.5, k, preferred_element_type=jnp.float32
             )
             attn = attn + bias[None]
-            if region_ids.max() > 0:  # SW-MSA mask
+            if shifted:  # SW-MSA mask
                 mask = (
                     (region_ids[:, None, :] != region_ids[:, :, None]).astype(np.float32)
                     * -100.0
@@ -128,8 +179,9 @@ class WindowAttention(nn.Module):
                 attn = attn.reshape(Bp // nW, nW, h, N, N) + jnp.asarray(mask)[None, :, None]
                 attn = attn.reshape(Bp, h, N, N)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-            out = jnp.moveaxis(out, 1, 2).reshape(Bp, N, C)
+            o = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            o = jnp.moveaxis(o, 1, 2).reshape(Bp, N, C)
+            out = window_reverse(o.reshape(-1, ws, ws, C), ws, H, W)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
@@ -141,6 +193,7 @@ class SwinBlock(nn.Module):
     shift: int = 0
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    use_fused: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -153,12 +206,11 @@ class SwinBlock(nn.Module):
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x).reshape(B, H, W, C)
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-        region_ids = window_region_ids(H, W, ws, shift)  # static [nW, ws²]
-        windows = window_partition(y, ws).reshape(-1, ws * ws, C)
-        attn = WindowAttention(
-            self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
-        )(windows, region_ids)
-        y = window_reverse(attn.reshape(-1, ws, ws, C), ws, H, W)
+        region_ids = window_region_ids(H, W, ws, shift)  # static [nH·nW, ws²]
+        y = WindowAttention(
+            self.dim, self.num_heads, ws, use_fused=self.use_fused,
+            dtype=self.dtype, name="attn",
+        )(y, region_ids)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         y = y.reshape(B, N, C)
@@ -199,6 +251,7 @@ class SwinTransformer(nn.Module):
     stochastic_depth_prob: float = 0.1
     unpooled: bool = False
     remat: bool = False  # checkpoint each block
+    use_fused: bool = True  # fused Pallas window attention on TPU
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -228,7 +281,7 @@ class SwinTransformer(nn.Module):
                     window_size=self.window_size,
                     shift=0 if b % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio,
-                    drop_path=dp, dtype=self.dtype,
+                    drop_path=dp, use_fused=self.use_fused, dtype=self.dtype,
                     name=f"stage{stage}_block{b}",
                 )(x, det)
                 bidx += 1

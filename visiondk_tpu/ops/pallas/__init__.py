@@ -1,4 +1,11 @@
 from visiondk_tpu.ops.pallas._interpret import force_interpret, interpret_forced
 from visiondk_tpu.ops.pallas.attention import fused_qkv_attention, vision_attention
+from visiondk_tpu.ops.pallas.window_attention import fused_window_attention
 
-__all__ = ["fused_qkv_attention", "vision_attention", "force_interpret", "interpret_forced"]
+__all__ = [
+    "fused_qkv_attention",
+    "vision_attention",
+    "fused_window_attention",
+    "force_interpret",
+    "interpret_forced",
+]

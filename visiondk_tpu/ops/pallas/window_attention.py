@@ -1,206 +1,311 @@
-"""Fused windowed attention (Pallas/TPU) for Swin-style transformers.
+"""Fused windowed attention v2 (Pallas/TPU) for Swin-style transformers.
 
-Swin's window attention is the worst-case XLA shape: thousands of tiny
-[49, 32] matmuls per layer plus relative-position-bias and shifted-window
-mask adds, each materializing [B·nW, h, 49, 49] tensors in HBM — measured
-69% of swin_tiny's step time at ~8% MFU on v5e.
+Swin — the reference's default backbone (configs/classification/pet.yaml:25)
+— is the worst-case XLA attention shape: thousands of tiny [49, 32] matmuls
+plus relative-position-bias and shifted-window-mask adds, each materializing
+[B·nW, h, 49, 49] tensors in HBM. Measured (benchmarks/swin_dissect.py,
+Swin-B bs64 bf16 on v5e): the attention core alone is 90 ms of a 176 ms train
+step — 51%.
 
-This kernel consumes the window QKV projection's natural [B·nW, N, 3C]
-layout (N padded to 128), adds the relative-position bias and the
-shifted-window mask (recomputed in-VMEM from compact per-window region ids),
-and runs softmax per window without touching HBM. The custom VJP emits dqkv
-and the bias gradient (accumulated across all windows in-kernel), so the
-learned bias table trains through the ordinary chain rule outside.
+v1 of this kernel (git history) padded windows 49→128 host-side (6.8× wasted
+score FLOPs plus an extra HBM pad/slice pass) and Python-looped windows one
+at a time; it measured 6× slower than XLA. v2 fixes both and also swallows
+the window (de)partition:
+
+- consumes the QKV projection's natural ``[B, H, W, 3C]`` layout; the grid
+  walks (batch-block, window-row-block) and each cell rearranges its windows
+  in VMEM — the host-side 6-d window_partition/reverse transposes disappear;
+- windows stay N=49 (padding only to the physical 56-sublane/128-lane tile,
+  never in the FLOP count);
+- all windows of a cell ride one batched dot per head (`dot_general` with a
+  leading batch dim) instead of per-window loops;
+- the relative-position bias [h, 49, 49] has a constant index map, so Pallas
+  fetches it once and keeps it VMEM-resident across the whole grid;
+- the shifted-window mask is recomputed in-VMEM from compact per-window
+  region ids (ws² int32 per window instead of ws⁴ f32 mask rows in HBM); the
+  unshifted variant compiles the mask path away entirely (static flag);
+- the backward kernel recomputes probabilities flash-style, emits dqkv in the
+  same [B, H, W, 3C] layout, and accumulates the bias gradient across all
+  cells into a constant-index output block (sequential grid). Under
+  ``shard_map`` the per-shard partial dbias is psum'd by shard_map's own
+  transpose of the replicated bias input — no explicit collective here.
 
 Layout contract:
-- ``qkv``  [B·nW, Np, 3C] (Np multiple of 128; tail masked by the bias)
-- ``bias`` [h, Np, Np] f32 — relative-position bias with -inf at invalid
-  key columns (doubles as the N-padding mask)
-- ``ids``  [nW, Np] int32 — shift-region ids per window (all-equal ⇒ no mask);
-  windows of one image must be consecutive in the batch dim (window_partition
-  layout), so cell ``c`` covers windows [cR, cR+R) with ids rows
-  ``(c mod nW/R)·R …``.
+- ``qkv``  [B, H, W, 3C]  (H % ws == 0, W % ws == 0)
+- ``bias`` [heads, ws², ws²] f32 — relative-position bias per head
+- ``ids``  [nH·nW, ws²] int32 region ids (row-major over windows), or None
+  for the unshifted case (W-MSA)
+Returns [B, H, W, C].
+
+Reference semantics: softmax(QKᵀ/√d + bias + mask)·V per window, mask value
+-100.0 between different shift regions (reference models swin mask;
+/root/reference — timm swin via WindowAttention has the same structure).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from visiondk_tpu.ops.pallas._interpret import interpret_forced
-from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-_MASK_VAL = -100.0  # reference shifted_window_mask value (swin.py)
+_MASK_VAL = -100.0  # reference shifted_window_mask value (swin region mask)
 
 
-def _pick_windows_per_cell(n_windows: int, np_: int, c3: int) -> int:
-    """Windows per grid cell: amortize cell overhead, stay under ~2MB x-block."""
-    budget = 2 * 1024 * 1024
-    per_w = np_ * c3 * 2  # bf16
-    r = max(1, min(n_windows, budget // max(per_w, 1), 8))
-    while n_windows % r:
-        r -= 1
-    return r
+def _plan(B: int, nH: int, nW: int, ws: int, W: int, c3: int, budget: int) -> Tuple[int, int]:
+    """Pick (batch rows RB, window rows RH) per grid cell: enough windows to
+    amortize per-cell overhead, x-block under ``budget`` bytes (bf16)."""
+    target = 16  # windows per cell
+    RH = 1
+    for cand in range(nH, 0, -1):
+        if nH % cand == 0 and cand * nW <= target:
+            RH = cand
+            break
+    RB = 1
+    per_b = RH * ws * W * c3 * 2
+    for cand in range(B, 0, -1):
+        if B % cand == 0 and cand * RH * nW <= target and cand * per_b <= budget:
+            RB = cand
+            break
+    return RB, RH
+
+
+def _gather_windows(x: Array, RB: int, RH: int, nW: int, ws: int, c: int) -> Array:
+    """[RB, RH·ws, nW·ws, c] → [RB·RH·nW, ws², c] (VMEM relayout)."""
+    x = x.reshape(RB, RH, ws, nW, ws, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(RB * RH * nW, ws * ws, c)
+
+
+def _scatter_windows(o: Array, RB: int, RH: int, nW: int, ws: int, c: int) -> Array:
+    """[RB·RH·nW, ws², c] → [RB, RH·ws, nW·ws, c]."""
+    o = o.reshape(RB, RH, nW, ws, ws, c)
+    o = jnp.transpose(o, (0, 1, 3, 2, 4, 5))
+    return o.reshape(RB, RH * ws, nW * ws, c)
+
+
+def _region_mask(ids: Array) -> Array:
+    """[G, N] int32 → [G, N, N] f32 additive mask."""
+    return jnp.where(
+        ids[:, :, None] != ids[:, None, :], jnp.float32(_MASK_VAL), jnp.float32(0.0)
+    )
+
+
+def _scores(q, k, bias_h, mask, G: int, scale: float):
+    """Batched [R, N, N] f32 scores with bias (+ static-shift mask).
+
+    Operands are cast to f32 before the dot: measured 602 vs 497 img/s on
+    Swin-B train against native-bf16 operands at these tiny K=32 shapes
+    (bf16's (16,128) tiling pads the 49-row windows worse than f32's
+    (8,128); the conversions are cheap VPU sweeps)."""
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + bias_h[None]
+    if mask is not None:
+        R, N, _ = s.shape
+        s = (s.reshape(R // G, G, N, N) + mask[None]).reshape(R, N, N)
+    return s
 
 
 def _wattn_fwd_kernel(
-    qkv_ref, bias_ref, ids_ref, o_ref, *, heads: int, head_dim: int, scale: float
+    *refs, heads: int, head_dim: int, ws: int, nW: int, RB: int, RH: int, masked: bool
 ):
-    x = qkv_ref[...]  # [R, Np, 3C]
-    ids = ids_ref[...]  # [R, Np]
-    c = heads * head_dim
-    r, n, _ = x.shape
-    for w in range(r):
-        mask = jnp.where(
-            ids[w][:, None] != ids[w][None, :], _MASK_VAL, 0.0
-        )  # [Np, Np] f32
-        for h in range(heads):
-            q = x[w, :, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
-            k = x[w, :, c + h * head_dim : c + (h + 1) * head_dim].astype(jnp.float32)
-            v = x[w, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale + bias_ref[h] + mask
-            m = jnp.max(s, axis=1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v.dtype)
-            o_ref[w, :, h * head_dim : (h + 1) * head_dim] = jnp.dot(
-                p, v, preferred_element_type=jnp.float32
-            ).astype(o_ref.dtype)
+    if masked:
+        qkv_ref, bias_ref, ids_ref, o_ref, ow = refs
+        mask = _region_mask(ids_ref[...])  # [G, N, N], G = RH·nW
+    else:
+        qkv_ref, bias_ref, o_ref, ow = refs
+        mask = None
+    c3 = qkv_ref.shape[-1]
+    c = c3 // 3
+    G = RH * nW
+    scale = head_dim**-0.5
+    xw = _gather_windows(qkv_ref[...], RB, RH, nW, ws, c3)  # [R, N, 3C]
+    for h in range(heads):
+        lo = h * head_dim
+        q = xw[:, :, lo : lo + head_dim].astype(jnp.float32)
+        k = xw[:, :, c + lo : c + lo + head_dim].astype(jnp.float32)
+        v = xw[:, :, 2 * c + lo : 2 * c + lo + head_dim]
+        s = _scores(q, k, bias_ref[h], mask, G, scale)
+        m = jnp.max(s, axis=2, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=2, keepdims=True)).astype(v.dtype)
+        ow[:, :, lo : lo + head_dim] = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(ow.dtype)
+    o_ref[...] = _scatter_windows(ow[...], RB, RH, nW, ws, c)
 
 
 def _wattn_bwd_kernel(
-    qkv_ref, bias_ref, ids_ref, do_ref, dqkv_ref, dbias_ref,
-    *, heads: int, head_dim: int, scale: float,
+    *refs, heads: int, head_dim: int, ws: int, nW: int, RB: int, RH: int, masked: bool
 ):
-    @pl.when(pl.program_id(0) == 0)
+    if masked:
+        qkv_ref, bias_ref, ids_ref, do_ref, dqkv_ref, dbias_ref, dw = refs
+        mask = _region_mask(ids_ref[...])
+    else:
+        qkv_ref, bias_ref, do_ref, dqkv_ref, dbias_ref, dw = refs
+        mask = None
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
     def _init():
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    x = qkv_ref[...]
-    do3 = do_ref[...]
-    ids = ids_ref[...]
-    c = heads * head_dim
-    r, n, _ = x.shape
-    for w in range(r):
-        mask = jnp.where(ids[w][:, None] != ids[w][None, :], _MASK_VAL, 0.0)
-        for h in range(heads):
-            q = x[w, :, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
-            k = x[w, :, c + h * head_dim : c + (h + 1) * head_dim].astype(jnp.float32)
-            v = x[w, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim].astype(jnp.float32)
-            do = do3[w, :, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale + bias_ref[h] + mask
-            m = jnp.max(s, axis=1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = e / jnp.sum(e, axis=1, keepdims=True)
-            dv = jax.lax.dot_general(
-                p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            dp = jax.lax.dot_general(
-                do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            delta = jnp.sum(p * dp, axis=1, keepdims=True)
-            ds = p * (dp - delta)  # grad wrt (scaled scores + bias + mask)
-            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-            dk = jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            dqkv_ref[w, :, h * head_dim : (h + 1) * head_dim] = dq.astype(dqkv_ref.dtype)
-            dqkv_ref[w, :, c + h * head_dim : c + (h + 1) * head_dim] = dk.astype(
-                dqkv_ref.dtype
-            )
-            dqkv_ref[w, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim] = dv.astype(
-                dqkv_ref.dtype
-            )
-            dbias_ref[h] += ds
+    c3 = qkv_ref.shape[-1]
+    c = c3 // 3
+    G = RH * nW
+    scale = head_dim**-0.5
+    xw = _gather_windows(qkv_ref[...], RB, RH, nW, ws, c3)  # [R, N, 3C]
+    dow = _gather_windows(do_ref[...], RB, RH, nW, ws, c)  # [R, N, C]
+    for h in range(heads):
+        lo = h * head_dim
+        q = xw[:, :, lo : lo + head_dim].astype(jnp.float32)
+        k = xw[:, :, c + lo : c + lo + head_dim].astype(jnp.float32)
+        v = xw[:, :, 2 * c + lo : 2 * c + lo + head_dim].astype(jnp.float32)
+        do = dow[:, :, lo : lo + head_dim].astype(jnp.float32)
+        s = _scores(q, k, bias_ref[h], mask, G, scale)
+        m = jnp.max(s, axis=2, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=2, keepdims=True)
+        dv = jax.lax.dot_general(
+            p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(p * dp, axis=2, keepdims=True)
+        ds = p * (dp - delta)  # grad wrt (scaled scores + bias + mask)
+        dbias_ref[h] += jnp.sum(ds, axis=0)
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        dw[:, :, lo : lo + head_dim] = dq.astype(dw.dtype)
+        dw[:, :, c + lo : c + lo + head_dim] = dk.astype(dw.dtype)
+        dw[:, :, 2 * c + lo : 2 * c + lo + head_dim] = dv.astype(dw.dtype)
+    dqkv_ref[...] = _scatter_windows(dw[...], RB, RH, nW, ws, c3)
 
 
-def _specs(r: int, np_: int, c3: int, c: int, heads: int, n_windows: int):
-    x_spec = pl.BlockSpec((r, np_, c3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+def _common(qkv: Array, bias: Array, heads: int):
+    B, H, W, c3 = qkv.shape
+    c = c3 // 3
+    head_dim = c // heads
+    N = bias.shape[-1]
+    ws = int(round(N**0.5))
+    nH, nW = H // ws, W // ws
+    return B, H, W, c3, c, head_dim, N, ws, nH, nW
+
+
+def _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked):
+    G = RH * nW
+    x_spec = pl.BlockSpec(
+        (RB, RH * ws, W, c3), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+    )
     bias_spec = pl.BlockSpec(
-        (heads, np_, np_), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+        (heads, N, N), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM
     )
-    ids_spec = pl.BlockSpec(
-        (r, np_), lambda b: (b % (n_windows // r), 0), memory_space=pltpu.VMEM
+    ids_spec = pl.BlockSpec((G, N), lambda b, i: (i, 0), memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec(
+        (RB, RH * ws, W, c), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
     )
-    o_spec = pl.BlockSpec((r, np_, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
-    return x_spec, bias_spec, ids_spec, o_spec
+    in_specs = [x_spec, bias_spec] + ([ids_spec] if masked else [])
+    return in_specs, o_spec
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_window_attention(qkv: Array, bias: Array, ids: Array, heads: int) -> Array:
-    """[B·nW, Np, 3C] windows → [B·nW, Np, C] (see module docstring)."""
+def fused_window_attention(
+    qkv: Array, bias: Array, ids: Optional[Array], heads: int
+) -> Array:
+    """softmax(QKᵀ/√d + bias [+ shift mask])·V over ws×ws windows.
+
+    See module docstring for the layout contract. Safe inside ``shard_map``
+    over the batch axis: the bias cotangent is per-shard partial, and
+    shard_map's transpose of the replicated (P()) bias input inserts the
+    cross-shard psum itself (verified by
+    tests/test_pallas_attention.py::test_fused_window_attention_sharded_equals_single)."""
     return _wattn_fwd(qkv, bias, ids, heads)
 
 
 def _wattn_fwd(qkv, bias, ids, heads):
-    bw, np_, c3 = qkv.shape
-    c = c3 // 3
-    head_dim = c // heads
-    n_windows = ids.shape[0]
-    r = _pick_windows_per_cell(n_windows, np_, c3)
-    x_spec, bias_spec, ids_spec, o_spec = _specs(r, np_, c3, c, heads, n_windows)
+    B, H, W, c3, c, head_dim, N, ws, nH, nW = _common(qkv, bias, heads)
+    masked = ids is not None
+    RB, RH = _plan(B, nH, nW, ws, W, c3, budget=2_500_000)
+    in_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked)
     kern = functools.partial(
-        _wattn_fwd_kernel, heads=heads, head_dim=head_dim, scale=head_dim**-0.5
+        _wattn_fwd_kernel,
+        heads=heads, head_dim=head_dim, ws=ws, nW=nW, RB=RB, RH=RH, masked=masked,
     )
+    R = RB * RH * nW
+    args = (qkv, bias, ids) if masked else (qkv, bias)
     return pl.pallas_call(
         kern,
         interpret=interpret_forced(),
-        grid=(bw // r,),
-        in_specs=[x_spec, bias_spec, ids_spec],
+        grid=(B // RB, nH // RH),
+        in_specs=in_specs,
         out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((bw, np_, c), qkv.dtype),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * bw * heads * np_ * np_ * head_dim,
-            bytes_accessed=(bw * np_ * (c3 + c)) * 2,
-            transcendentals=bw * heads * np_ * np_,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, c), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((R, N, c), qkv.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
         ),
-    )(qkv, bias, ids)
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * nH * nW * heads * N * N * head_dim,
+            bytes_accessed=B * H * W * (c3 + c) * 2,
+            transcendentals=B * nH * nW * heads * N * N,
+        ),
+    )(*args)
 
 
 def _wattn_vjp_fwd(qkv, bias, ids, heads):
     return _wattn_fwd(qkv, bias, ids, heads), (qkv, bias, ids)
 
 
-def _wattn_vjp_bwd(heads, res, do):
+def _wattn_vjp_bwd(heads, res, g):
     qkv, bias, ids = res
-    bw, np_, c3 = qkv.shape
-    c = c3 // 3
-    head_dim = c // heads
-    n_windows = ids.shape[0]
-    r = _pick_windows_per_cell(n_windows, np_, c3)
-    x_spec, bias_spec, ids_spec, o_spec = _specs(r, np_, c3, c, heads, n_windows)
-    kern = functools.partial(
-        _wattn_bwd_kernel, heads=heads, head_dim=head_dim, scale=head_dim**-0.5
+    B, H, W, c3, c, head_dim, N, ws, nH, nW = _common(qkv, bias, heads)
+    masked = ids is not None
+    RB, RH = _plan(B, nH, nW, ws, W, c3, budget=1_500_000)
+    in_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked)
+    dbias_spec = pl.BlockSpec(
+        (heads, N, N), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM
     )
+    kern = functools.partial(
+        _wattn_bwd_kernel,
+        heads=heads, head_dim=head_dim, ws=ws, nW=nW, RB=RB, RH=RH, masked=masked,
+    )
+    R = RB * RH * nW
+    args = (qkv, bias, ids, g) if masked else (qkv, bias, g)
     dqkv, dbias = pl.pallas_call(
         kern,
         interpret=interpret_forced(),
-        grid=(bw // r,),
-        in_specs=[x_spec, bias_spec, ids_spec, o_spec],
-        out_specs=[x_spec, bias_spec],  # dbias accumulates across cells
+        grid=(B // RB, nH // RH),
+        in_specs=in_specs + [o_spec],
+        out_specs=[in_specs[0], dbias_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((bw, np_, c3), qkv.dtype),
+            jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
             jax.ShapeDtypeStruct(bias.shape, jnp.float32),
         ],
-        # sequential grid: dbias is a cross-cell accumulation
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
-        cost_estimate=pl.CostEstimate(
-            flops=5 * 2 * bw * heads * np_ * np_ * head_dim,
-            bytes_accessed=2 * (bw * np_ * (c3 + c)) * 2,
-            transcendentals=bw * heads * np_ * np_,
+        scratch_shapes=[pltpu.VMEM((R, N, c3), qkv.dtype)],
+        # dbias accumulates across cells → sequential grid
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
         ),
-    )(qkv, bias, ids, do)
-    return dqkv, dbias, None
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * nH * nW * heads * N * N * head_dim,
+            bytes_accessed=2 * B * H * W * (c3 + c) * 2,
+            transcendentals=B * nH * nW * heads * N * N,
+        ),
+    )(*args)
+    return dqkv, dbias.astype(bias.dtype), None
 
 
 fused_window_attention.defvjp(_wattn_vjp_fwd, _wattn_vjp_bwd)
