@@ -127,7 +127,7 @@ def _make_toy_imagenet(root, n_classes=8, per_class=64, size=(500, 375)):
     open(marker, "w").close()
 
 
-def run_pipeline(batch=128, steps=8, warmup=2, workers=8):
+def run_pipeline(batch=128, steps=20, warmup=2, workers=8):
     """End-to-end train throughput fed by the REAL input pipeline
     (disk JPEG → DataLoader host decode+augment → device step), next to a
     loader-only drain. On this one-core dev host the loader ceiling is
@@ -166,7 +166,10 @@ def run_pipeline(batch=128, steps=8, warmup=2, workers=8):
                     return
             epoch += 1
 
-    # loader-only drain
+    # loader-only drain — one untimed epoch first so the page cache and
+    # thread pool are warm (matching the train-fed pass's conditions)
+    for b in batches(2):
+        pass
     t0 = time.perf_counter()
     for b in batches(steps):
         pass

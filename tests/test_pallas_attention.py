@@ -279,3 +279,48 @@ def test_fused_attention_indivisible_batch_falls_back(mesh8):
     with force_interpret(), with_current_mesh(mesh8.mesh):
         out = attn.apply(variables, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(plain), atol=1e-4, rtol=1e-4)
+
+
+def test_fused_window_attention_v2_matches_fallback(interp, mesh8):
+    """SwinV2 cosine attention through the shared fused kernel (logit scale
+    folded into normalized q, CPB bias on the kernel's bias input) ≡ the XLA
+    fallback — fwd + grads incl. logit_scale and the CPB MLP params."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from visiondk_tpu.models.backbones.swin import window_region_ids
+    from visiondk_tpu.models.backbones.swinv2 import WindowAttentionV2
+    from visiondk_tpu.parallel.mesh import with_current_mesh
+
+    B, H, W, C, heads, ws, shift = 16, 8, 8, 32, 2, 4, 2
+    ids = window_region_ids(H, W, ws, shift)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, H, W, C)).astype(np.float32)
+
+    attn = WindowAttentionV2(C, heads, ws, dtype=jnp.float32)
+    with with_current_mesh(None):
+        variables = attn.init({"params": jax.random.key(0)}, jnp.asarray(x), ids)
+
+    def loss(v, xx):
+        return jnp.sum(attn.apply(v, xx, ids) ** 2)
+
+    with with_current_mesh(None):  # multi-device, no mesh → XLA fallback
+        ref = attn.apply(variables, jnp.asarray(x), ids)
+        gref = jax.grad(loss)(variables, jnp.asarray(x))
+
+    mesh = mesh8.mesh
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    with with_current_mesh(mesh):
+        out = jax.jit(lambda v, xx: attn.apply(v, xx, ids))(vs, xs)
+        gsh = jax.jit(jax.grad(loss))(vs, xs)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gsh)[0],
+        jax.tree_util.tree_flatten_with_path(gref)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3, err_msg=str(pa)
+        )

@@ -43,53 +43,127 @@ def log_relative_coords(ws: int) -> np.ndarray:
 
 
 class WindowAttentionV2(nn.Module):
+    """SwinV2 scaled-cosine window MSA over [B, H, W, C] feature maps.
+
+    TPU fast path: reuses V1's fused Pallas window kernel
+    (ops/pallas/window_attention.py) — q/k are L2-normalized per head and the
+    learned (traced) logit scale is folded into q *outside* the kernel, so
+    the kernel runs with a static scale of 1.0; the continuous-position-bias
+    MLP output rides the kernel's bias input unchanged."""
+
     dim: int
     num_heads: int
     window_size: int
     qkv_bias: bool = True
+    use_fused: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, region_ids: np.ndarray) -> Array:
-        Bp, N, C = x.shape
+        B, H, W, C = x.shape
+        ws = self.window_size
+        N = ws * ws
         h = self.num_heads
         hd = C // h
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.moveaxis(qkv.reshape(Bp, N, 3, h, hd), 2, 0)
-        q = jnp.moveaxis(q, 2, 1)  # [B', h, N, hd]
-        k = jnp.moveaxis(k, 2, 1)
-        v = jnp.moveaxis(v, 2, 1)
 
-        # scaled cosine attention
-        qn = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True), 1e-6).astype(q.dtype)
-        kn = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True), 1e-6).astype(k.dtype)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", qn, kn, preferred_element_type=jnp.float32)
         logit_scale = self.param(
             "logit_scale",
             lambda key, shape: jnp.full(shape, np.log(10.0), jnp.float32),
             (h, 1, 1),
         )
-        attn = attn * jnp.exp(jnp.minimum(logit_scale, np.log(100.0)))[None]
+        scale = jnp.exp(jnp.minimum(logit_scale, np.log(100.0)))  # [h,1,1] f32
 
         # continuous log-CPB: MLP(2 → 512 → h) over log relative coords
-        rel = jnp.asarray(log_relative_coords(self.window_size))  # [N, N, 2]
+        rel = jnp.asarray(log_relative_coords(ws))  # [N, N, 2]
         cpb = nn.Dense(512, dtype=jnp.float32, name="cpb_fc1")(rel)
         cpb = nn.relu(cpb)
         cpb = nn.Dense(h, use_bias=False, dtype=jnp.float32, name="cpb_fc2")(cpb)
-        bias = 16.0 * jax.nn.sigmoid(jnp.transpose(cpb, (2, 0, 1)))  # [h, N, N]
-        attn = attn + bias[None]
+        bias = 16.0 * jax.nn.sigmoid(jnp.transpose(cpb, (2, 0, 1)))  # [h, N, N] f32
+        shifted = bool(region_ids.max() > 0)
 
-        if region_ids.max() > 0:  # SW-MSA
-            mask = (
-                (region_ids[:, None, :] != region_ids[:, :, None]).astype(np.float32)
-                * -100.0
+        # cosine attention: normalize q/k per head (f32 norms)
+        q3 = qkv.reshape(B, H, W, 3, h, hd)
+
+        def _l2n(t):
+            n = jnp.linalg.norm(t.astype(jnp.float32), axis=-1, keepdims=True)
+            return t / jnp.maximum(n, 1e-6).astype(t.dtype)
+
+        qn, kn, v = _l2n(q3[..., 0, :, :]), _l2n(q3[..., 1, :, :]), q3[..., 2, :, :]
+
+        from visiondk_tpu.ops.pallas import interpret_forced
+
+        fused_ok = (
+            self.use_fused
+            and isinstance(B, int)
+            and H % ws == 0
+            and W % ws == 0
+            and (jax.default_backend() == "tpu" or interpret_forced())
+        )
+        mesh = None
+        if fused_ok and jax.device_count() > 1:
+            from visiondk_tpu.parallel.mesh import current_mesh
+
+            mesh = current_mesh()
+            n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+            if mesh is None or B % n_data != 0:
+                fused_ok = False
+
+        if fused_ok:
+            from jax.sharding import PartitionSpec as P
+
+            from visiondk_tpu.ops.pallas import fused_window_attention
+
+            # fold the traced per-head scale into normalized q → static kernel
+            qs = (qn.astype(jnp.float32) * scale[:, 0, 0][None, None, None, :, None]).astype(
+                self.dtype
             )
-            nW = mask.shape[0]
-            attn = attn.reshape(Bp // nW, nW, h, N, N) + jnp.asarray(mask)[None, :, None]
-            attn = attn.reshape(Bp, h, N, N)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = jnp.moveaxis(out, 1, 2).reshape(Bp, N, C)
+            qkv2 = jnp.stack([qs, kn, v], axis=3).reshape(B, H, W, 3 * C)
+            ids_arr = jnp.asarray(region_ids) if shifted else None
+            if mesh is not None and mesh.shape.get("data", 1) > 1:
+                if shifted:
+                    kernel = jax.shard_map(
+                        lambda q_, b_, i_: fused_window_attention(q_, b_, i_, h, 1.0),
+                        mesh=mesh,
+                        in_specs=(P("data"), P(), P()),
+                        out_specs=P("data"),
+                        check_vma=False,
+                    )
+                    out = kernel(qkv2, bias, ids_arr)
+                else:
+                    kernel = jax.shard_map(
+                        lambda q_, b_: fused_window_attention(q_, b_, None, h, 1.0),
+                        mesh=mesh,
+                        in_specs=(P("data"), P()),
+                        out_specs=P("data"),
+                        check_vma=False,
+                    )
+                    out = kernel(qkv2, bias)
+            else:
+                out = fused_window_attention(qkv2, bias, ids_arr, h, 1.0)
+        else:
+            qkv2 = jnp.stack([qn, kn, v], axis=3).reshape(B, H, W, 3 * C)
+            windows = window_partition(qkv2, ws).reshape(-1, N, 3 * C)
+            Bp = windows.shape[0]
+            qn_, kn_, v_ = jnp.moveaxis(windows.reshape(Bp, N, 3, h, hd), 2, 0)
+            qn_ = jnp.moveaxis(qn_, 2, 1)  # [B', h, N, hd]
+            kn_ = jnp.moveaxis(kn_, 2, 1)
+            v_ = jnp.moveaxis(v_, 2, 1)
+            attn = jnp.einsum("bhqd,bhkd->bhqk", qn_, kn_, preferred_element_type=jnp.float32)
+            attn = attn * scale[None]
+            attn = attn + bias[None]
+            if shifted:  # SW-MSA
+                mask = (
+                    (region_ids[:, None, :] != region_ids[:, :, None]).astype(np.float32)
+                    * -100.0
+                )
+                nW = mask.shape[0]
+                attn = attn.reshape(Bp // nW, nW, h, N, N) + jnp.asarray(mask)[None, :, None]
+                attn = attn.reshape(Bp, h, N, N)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", attn, v_)
+            o = jnp.moveaxis(o, 1, 2).reshape(Bp, N, C)
+            out = window_reverse(o.reshape(-1, ws, ws, C), ws, H, W)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
@@ -101,6 +175,7 @@ class SwinV2Block(nn.Module):
     shift: int = 0
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    use_fused: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -114,11 +189,10 @@ class SwinV2Block(nn.Module):
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
         region_ids = window_region_ids(H, W, ws, shift)
-        windows = window_partition(y, ws).reshape(-1, ws * ws, C)
-        attn = WindowAttentionV2(
-            self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
-        )(windows, region_ids)
-        y = window_reverse(attn.reshape(-1, ws, ws, C), ws, H, W)
+        y = WindowAttentionV2(
+            self.dim, self.num_heads, ws, use_fused=self.use_fused,
+            dtype=self.dtype, name="attn",
+        )(y, region_ids)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         y = y.reshape(B, N, C)
@@ -143,6 +217,7 @@ class SwinTransformerV2(nn.Module):
     stochastic_depth_prob: float = 0.1
     unpooled: bool = False
     remat: bool = False
+    use_fused: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -174,7 +249,7 @@ class SwinTransformerV2(nn.Module):
                     window_size=self.window_size,
                     shift=0 if b % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio,
-                    drop_path=dp, dtype=self.dtype,
+                    drop_path=dp, use_fused=self.use_fused, dtype=self.dtype,
                     name=f"stage{stage}_block{b}",
                 )(x, det)
                 bidx += 1

@@ -62,7 +62,9 @@ _MASK_VAL = -100.0  # reference shifted_window_mask value (swin region mask)
 def _plan(B: int, nH: int, nW: int, ws: int, W: int, c3: int, budget: int) -> Tuple[int, int]:
     """Pick (batch rows RB, window rows RH) per grid cell: enough windows to
     amortize per-cell overhead, x-block under ``budget`` bytes (bf16)."""
-    target = 16  # windows per cell
+    import os
+
+    target = int(os.environ.get("VDK_WATTN_CELL_WINDOWS", "16"))  # windows per cell
     RH = 1
     for cand in range(nH, 0, -1):
         if nH % cand == 0 and cand * nW <= target:
@@ -116,7 +118,8 @@ def _scores(q, k, bias_h, mask, G: int, scale: float):
 
 
 def _wattn_fwd_kernel(
-    *refs, heads: int, head_dim: int, ws: int, nW: int, RB: int, RH: int, masked: bool
+    *refs, heads: int, head_dim: int, ws: int, nW: int, RB: int, RH: int,
+    masked: bool, scale: Optional[float],
 ):
     if masked:
         qkv_ref, bias_ref, ids_ref, o_ref, ow = refs
@@ -127,7 +130,7 @@ def _wattn_fwd_kernel(
     c3 = qkv_ref.shape[-1]
     c = c3 // 3
     G = RH * nW
-    scale = head_dim**-0.5
+    scale = head_dim**-0.5 if scale is None else scale
     xw = _gather_windows(qkv_ref[...], RB, RH, nW, ws, c3)  # [R, N, 3C]
     for h in range(heads):
         lo = h * head_dim
@@ -145,7 +148,8 @@ def _wattn_fwd_kernel(
 
 
 def _wattn_bwd_kernel(
-    *refs, heads: int, head_dim: int, ws: int, nW: int, RB: int, RH: int, masked: bool
+    *refs, heads: int, head_dim: int, ws: int, nW: int, RB: int, RH: int,
+    masked: bool, scale: Optional[float],
 ):
     if masked:
         qkv_ref, bias_ref, ids_ref, do_ref, dqkv_ref, dbias_ref, dw = refs
@@ -161,7 +165,7 @@ def _wattn_bwd_kernel(
     c3 = qkv_ref.shape[-1]
     c = c3 // 3
     G = RH * nW
-    scale = head_dim**-0.5
+    scale = head_dim**-0.5 if scale is None else scale
     xw = _gather_windows(qkv_ref[...], RB, RH, nW, ws, c3)  # [R, N, 3C]
     dow = _gather_windows(do_ref[...], RB, RH, nW, ws, c)  # [R, N, C]
     for h in range(heads):
@@ -221,21 +225,27 @@ def _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked):
     return in_specs, o_spec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_window_attention(
-    qkv: Array, bias: Array, ids: Optional[Array], heads: int
+    qkv: Array, bias: Array, ids: Optional[Array], heads: int,
+    scale: Optional[float] = None,
 ) -> Array:
-    """softmax(QKᵀ/√d + bias [+ shift mask])·V over ws×ws windows.
+    """softmax(scale·QKᵀ + bias [+ shift mask])·V over ws×ws windows.
+
+    ``scale`` defaults to 1/√head_dim (Swin V1). SwinV2 passes 1.0 and bakes
+    its learned per-head logit scale into q outside the kernel (cosine
+    attention: q/k are pre-normalized, scale is a traced tensor — folding it
+    into q keeps the kernel static).
 
     See module docstring for the layout contract. Safe inside ``shard_map``
     over the batch axis: the bias cotangent is per-shard partial, and
     shard_map's transpose of the replicated (P()) bias input inserts the
     cross-shard psum itself (verified by
     tests/test_pallas_attention.py::test_fused_window_attention_sharded_equals_single)."""
-    return _wattn_fwd(qkv, bias, ids, heads)
+    return _wattn_fwd(qkv, bias, ids, heads, scale)
 
 
-def _wattn_fwd(qkv, bias, ids, heads):
+def _wattn_fwd(qkv, bias, ids, heads, scale=None):
     B, H, W, c3, c, head_dim, N, ws, nH, nW = _common(qkv, bias, heads)
     masked = ids is not None
     RB, RH = _plan(B, nH, nW, ws, W, c3, budget=2_500_000)
@@ -243,6 +253,7 @@ def _wattn_fwd(qkv, bias, ids, heads):
     kern = functools.partial(
         _wattn_fwd_kernel,
         heads=heads, head_dim=head_dim, ws=ws, nW=nW, RB=RB, RH=RH, masked=masked,
+        scale=scale,
     )
     R = RB * RH * nW
     args = (qkv, bias, ids) if masked else (qkv, bias)
@@ -265,11 +276,11 @@ def _wattn_fwd(qkv, bias, ids, heads):
     )(*args)
 
 
-def _wattn_vjp_fwd(qkv, bias, ids, heads):
-    return _wattn_fwd(qkv, bias, ids, heads), (qkv, bias, ids)
+def _wattn_vjp_fwd(qkv, bias, ids, heads, scale):
+    return _wattn_fwd(qkv, bias, ids, heads, scale), (qkv, bias, ids)
 
 
-def _wattn_vjp_bwd(heads, res, g):
+def _wattn_vjp_bwd(heads, scale, res, g):
     qkv, bias, ids = res
     B, H, W, c3, c, head_dim, N, ws, nH, nW = _common(qkv, bias, heads)
     masked = ids is not None
@@ -281,6 +292,7 @@ def _wattn_vjp_bwd(heads, res, g):
     kern = functools.partial(
         _wattn_bwd_kernel,
         heads=heads, head_dim=head_dim, ws=ws, nW=nW, RB=RB, RH=RH, masked=masked,
+        scale=scale,
     )
     R = RB * RH * nW
     args = (qkv, bias, ids, g) if masked else (qkv, bias, g)
