@@ -36,11 +36,21 @@ class ViTV(nn.Module):
         H, hd = 12, 64
         pos = self.param("pos", nn.initializers.normal(0.02), (1, N, C), jnp.float32)
         t = t + pos.astype(DTYPE)
+        if self.variant == "fused200":
+            # pad tokens to a sublane multiple: [B,200,C] reshapes to/from
+            # [B*200, C] become bitcasts (197 forces a 200-padded tiled layout
+            # and therefore a real HBM copy around every matmul)
+            t = jnp.pad(t, ((0, 0), (0, -N % 8), (0, 0)))
+            N = t.shape[1]
         for i in range(12):
             y = nn.LayerNorm(dtype=DTYPE, name=f"n1_{i}")(t)
             qkv = nn.Dense(3 * C, dtype=DTYPE, name=f"qkv_{i}")(y)
             if self.variant == "attn_id":
                 o = qkv[:, :, 2 * C :]
+            elif self.variant == "attn_sum":
+                # keep q/k columns alive (attn_id lets XLA dead-code 2/3 of
+                # the qkv matmul) — bounds the step with a free attention core
+                o = qkv[:, :, : C] + qkv[:, :, C : 2 * C] + qkv[:, :, 2 * C :]
             elif self.variant == "xla":
                 q, k, v = jnp.moveaxis(qkv.reshape(Bs, N, 3, H, hd), 2, 0)
                 q = jnp.moveaxis(q, 2, 1)

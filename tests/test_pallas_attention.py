@@ -213,9 +213,9 @@ def test_fused_attention_sharded_equals_single(mesh8, monkeypatch):
     kernel_traces = {"n": 0}
     orig = vp.fused_qkv_attention
 
-    def counting(qkv, heads):
+    def counting(qkv, heads, **kw):
         kernel_traces["n"] += 1
-        return orig(qkv, heads)
+        return orig(qkv, heads, **kw)
 
     monkeypatch.setattr(vp, "fused_qkv_attention", counting)
 
@@ -323,4 +323,40 @@ def test_fused_window_attention_v2_matches_fallback(interp, mesh8):
     ):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3, err_msg=str(pa)
+        )
+
+
+def test_vit_padded_tokens_fused_equals_xla(interp, mesh8):
+    """ViT pads tokens to a sublane multiple (197→200 at 224px); the fused
+    kernel must mask the pad keys so the padded fused path ≡ the unpadded XLA
+    math — fwd + grads through the full (tiny) ViT."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from visiondk_tpu.models.backbones import BACKBONES
+    from visiondk_tpu.parallel.mesh import with_current_mesh
+
+    m = BACKBONES.create("vit_small_patch16_224", num_classes=3, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 64, 64, 3)).astype(np.float32)  # 17 tokens → pad 24
+    with with_current_mesh(None):
+        v = m.init({"params": jax.random.key(0)}, jnp.asarray(x[:1]))
+        ref = m.apply(v, jnp.asarray(x))
+        gref = jax.grad(lambda vv, xx: jnp.sum(m.apply(vv, xx) ** 2))(v, jnp.asarray(x))
+
+    mesh = mesh8.mesh
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    vs = jax.device_put(v, NamedSharding(mesh, P()))
+    with with_current_mesh(mesh):
+        out = jax.jit(m.apply)(vs, xs)
+        gsh = jax.jit(jax.grad(lambda vv, xx: jnp.sum(m.apply(vv, xx) ** 2)))(vs, xs)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gsh)[0],
+        jax.tree_util.tree_flatten_with_path(gref)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3, err_msg=str(pa)
         )

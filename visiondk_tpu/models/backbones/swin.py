@@ -204,15 +204,24 @@ class SwinBlock(nn.Module):
         shift = self.shift if ws < min(H, W) else 0
 
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x).reshape(B, H, W, C)
+        # pad H/W to window multiples (timm swin parity: zero-pad bottom/right
+        # before windowing, crop after) — enables arbitrary image sizes and
+        # progressive resize
+        pad_b, pad_r = (-H) % ws, (-W) % ws
+        if pad_b or pad_r:
+            y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        Hp, Wp = H + pad_b, W + pad_r
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-        region_ids = window_region_ids(H, W, ws, shift)  # static [nH·nW, ws²]
+        region_ids = window_region_ids(Hp, Wp, ws, shift)  # static [nH·nW, ws²]
         y = WindowAttention(
             self.dim, self.num_heads, ws, use_fused=self.use_fused,
             dtype=self.dtype, name="attn",
         )(y, region_ids)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        if pad_b or pad_r:
+            y = y[:, :H, :W]
         y = y.reshape(B, N, C)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic=deterministic)
 
@@ -231,10 +240,13 @@ class PatchMerging(nn.Module):
         H, W = self.input_resolution
         B, N, C = x.shape
         x = x.reshape(B, H, W, C)
+        if H % 2 or W % 2:  # timm parity: pad odd edges before 2x2 merge
+            x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        Ho, Wo = -(-H // 2), -(-W // 2)
         x = jnp.concatenate(
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
             axis=-1,
-        ).reshape(B, (H // 2) * (W // 2), 4 * C)
+        ).reshape(B, Ho * Wo, 4 * C)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
@@ -287,7 +299,7 @@ class SwinTransformer(nn.Module):
                 bidx += 1
             if stage < len(self.depths) - 1:
                 x = PatchMerging(res, dim, dtype=self.dtype, name=f"merge{stage}")(x)
-                res = (res[0] // 2, res[1] // 2)
+                res = (-(-res[0] // 2), -(-res[1] // 2))  # ceil: odd edges padded
                 dim *= 2
 
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)

@@ -186,15 +186,21 @@ class SwinV2Block(nn.Module):
         shift = self.shift if ws < min(H, W) else 0
 
         y = x.reshape(B, H, W, C)
+        pad_b, pad_r = (-H) % ws, (-W) % ws  # timm parity: pad to window mult
+        if pad_b or pad_r:
+            y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        Hp, Wp = H + pad_b, W + pad_r
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-        region_ids = window_region_ids(H, W, ws, shift)
+        region_ids = window_region_ids(Hp, Wp, ws, shift)
         y = WindowAttentionV2(
             self.dim, self.num_heads, ws, use_fused=self.use_fused,
             dtype=self.dtype, name="attn",
         )(y, region_ids)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        if pad_b or pad_r:
+            y = y[:, :H, :W]
         y = y.reshape(B, N, C)
         # V2 post-norm
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(y)
@@ -255,7 +261,7 @@ class SwinTransformerV2(nn.Module):
                 bidx += 1
             if stage < len(self.depths) - 1:
                 x = PatchMerging(res, dim, dtype=self.dtype, name=f"merge{stage}")(x)
-                res = (res[0] // 2, res[1] // 2)
+                res = (-(-res[0] // 2), -(-res[1] // 2))  # ceil: odd edges padded
                 dim *= 2
 
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)

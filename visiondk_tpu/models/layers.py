@@ -80,10 +80,15 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     dtype: Dtype = jnp.float32
     use_fused: bool = True
+    # real token count when the caller pads N up to a sublane multiple
+    # (vit.py pads 197 → 200 so [B,N,C] ↔ [B·N,C] reshapes are bitcasts);
+    # keys ≥ n_valid are masked, pad-row outputs are garbage-but-isolated
+    n_valid: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         B, N, C = x.shape
+        n_valid = N if self.n_valid is None else self.n_valid
         head_dim = C // self.num_heads
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
 
@@ -120,7 +125,7 @@ class Attention(nn.Module):
 
             from visiondk_tpu.ops.pallas import fused_qkv_attention
 
-            kernel = partial(fused_qkv_attention, heads=self.num_heads)
+            kernel = partial(fused_qkv_attention, heads=self.num_heads, n_valid=n_valid)
             if mesh is not None and mesh.shape.get("data", 1) > 1:
                 kernel = jax.shard_map(
                     kernel, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
@@ -136,6 +141,9 @@ class Attention(nn.Module):
             attn = jnp.einsum(
                 "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
             )
+            if n_valid < N:  # mask caller-padded key columns
+                col = jax.lax.broadcasted_iota(jnp.int32, attn.shape, 3)
+                attn = jnp.where(col < n_valid, attn, -1e30)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)

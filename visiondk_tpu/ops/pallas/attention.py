@@ -20,7 +20,7 @@ slicing and wires the custom VJP.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -254,10 +254,20 @@ def _row_spec(n: int, width: int, rows: int = 1):
     return pl.BlockSpec((rows, n, width), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
 
 
-def _rows_per_cell(b: int) -> int:
-    # 2 batch rows per grid cell amortizes per-cell overhead (measured best
-    # of 1/2/4 on v5e at ViT-B shapes); fall back to 1 for odd batches.
-    return 2 if b % 2 == 0 else 1
+def _rows_per_cell(b: int, bwd: bool = False) -> int:
+    """Batch rows per grid cell: 2 for both directions (amortizes per-cell
+    overhead; measured best of 1/2/4 on v5e at ViT-B shapes for fwd AND bwd
+    — bwd rows=1 regressed the full model 1186→1144 img/s despite the bwd
+    custom-call sitting ~3× above its DMA floor in isolation). Override per
+    direction with VDK_ATTN_ROWS / VDK_ATTN_ROWS_BWD for A/B sweeps.
+    """
+    import os
+
+    env = os.environ.get("VDK_ATTN_ROWS_BWD" if bwd else "VDK_ATTN_ROWS")
+    r = int(env) if env else 2
+    while b % r:
+        r -= 1
+    return r
 
 
 _PARALLEL = pltpu.CompilerParams(dimension_semantics=("parallel",))
@@ -299,7 +309,7 @@ def _fused_vjp_fwd(qkv, heads, head_dim, n_valid):
 def _fused_vjp_bwd(heads, head_dim, n_valid, qkv, do):
     b, n, w = qkv.shape
     scale = head_dim**-0.5
-    rows = _rows_per_cell(b)  # R=2 measured 6× faster than R=1 (v5e, ViT-B)
+    rows = _rows_per_cell(b, bwd=True)
     np_ = _round_up(max(n, 128), 128)
     kern = functools.partial(
         _fused_bwd_kernel, heads=heads, head_dim=head_dim, n_valid=n_valid, scale=scale
@@ -324,17 +334,20 @@ def _fused_vjp_bwd(heads, head_dim, n_valid, qkv, do):
 _fused_attention_padded.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
-def fused_qkv_attention(qkv: Array, heads: int) -> Array:
+def fused_qkv_attention(qkv: Array, heads: int, n_valid: Optional[int] = None) -> Array:
     """Attention straight from the QKV projection: [B, N, 3C] → [B, N, C].
 
     No [B,H,N,D] transposes anywhere — heads are lane slices inside VMEM.
     N needs no host-visible padding: the kernel blocks round up to the
-    128-lane tile and mask the tail.
+    128-lane tile and mask the tail. ``n_valid < N`` masks trailing key
+    columns (− caller-padded tokens, e.g. ViT's 197 → 200 sublane-aligned
+    layout; pad-row *outputs* are garbage but padded queries never leak into
+    valid rows).
     """
     b, n, w = qkv.shape
     assert w % (3 * heads) == 0, (w, heads)
     head_dim = w // (3 * heads)
-    return _fused_attention_padded(qkv, heads, head_dim, n)
+    return _fused_attention_padded(qkv, heads, head_dim, n if n_valid is None else n_valid)
 
 
 def vision_attention(q: Array, k: Array, v: Array) -> Array:
