@@ -173,75 +173,172 @@ _vision_attention_padded.defvjp(_vjp_fwd, _vjp_bwd)
 # --------------------------------------------------------------------------
 
 
-def _fused_fwd_kernel(qkv_ref, o_ref, *, heads: int, head_dim: int, n_valid: int, scale: float):
+def _bf16_dots() -> bool:
+    """bf16 matmul *operands* (always f32 accumulation) in the fused kernels.
+
+    v5e's MXU is bf16-native; f32-operand dots run at a fraction of the rate.
+    Read at trace time; override with VDK_ATTN_BF16=0/1 for A/B sweeps."""
+    import os
+
+    return os.environ.get("VDK_ATTN_BF16", "0") == "1"
+
+
+_LOG2E = 1.4426950408889634
+
+
+def _fused_fwd_kernel(
+    qkv_ref, o_ref, p_ref=None, *, heads: int, head_dim: int, n_valid: int, scale: float,
+    n_array: Optional[int] = None,
+):
+    # VPU-elementwise-bound regime (B·H·N² score elements dominate; the dots
+    # are a minority of the time) — every per-element op matters:
+    #   · the N block is sublane-granular (×8), not lane-granular (×128):
+    #     ViT's 200 tokens process as 200 rows, not 256 (−22% of everything)
+    #   · scale·log2e folded into q ([N,D] op, not [N,N]) + exp2 instead of exp
+    #   · key-pad mask as ONE precomputed additive bias row (no per-head
+    #     compare+select)
+    #   · softmax division as reciprocal + broadcast multiply
     x = qkv_ref[...]  # [R, N, 3C] in VMEM (R batch rows per cell)
     n = x.shape[1]
+    n_arr = n_array if n_array is not None else n
     c = heads * head_dim
-    if n_valid < n:
-        # The N block over-reads past the array (pallas masks writes but OOB
-        # *reads* are undefined); zero the tail so garbage V rows can't leak
-        # NaNs through p·V (p is exactly 0 there, but 0·NaN = NaN).
+    op_t = x.dtype if _bf16_dots() else jnp.float32
+    if n_arr < n:
+        # Block over-reads past the array's sublane extent (OOB reads are
+        # undefined); zero the tail so garbage V rows can't leak NaNs through
+        # p·V (p is exactly 0 there, but 0·NaN = NaN).
         row3 = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        x = jnp.where(row3 < n_valid, x, 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], n, n), 2)
+        x = jnp.where(row3 < n_arr, x, 0)
+    if n_valid < n:
+        # Padded key columns get -inf bias; padded q rows produce garbage
+        # outputs the caller never reads.
+        # hoisted col + per-head select (an additive-bias formulation
+        # crashes Mosaic's layout pass at sublane-granular N)
+        col = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], n, n), 2)
+        kmask = col < n_valid
     for h in range(heads):
         q = x[:, :, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
-        k = x[:, :, c + h * head_dim : c + (h + 1) * head_dim].astype(jnp.float32)
+        k = x[:, :, c + h * head_dim : c + (h + 1) * head_dim].astype(op_t)
         v = x[:, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim]
+        q = (q * (scale * _LOG2E)).astype(op_t)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ) * scale
+        )  # log2-domain scores
         if n_valid < n:
-            s = jnp.where(col < n_valid, s, _NEG_INF)
+            s = jnp.where(kmask, s, _NEG_INF)
         m = jnp.max(s, axis=2, keepdims=True)
-        e = jnp.exp(s - m)
-        p = (e / jnp.sum(e, axis=2, keepdims=True)).astype(v.dtype)
+        e = jnp.exp2(s - m)
+        p = (e * (1.0 / jnp.sum(e, axis=2, keepdims=True))).astype(v.dtype)
+        if p_ref is not None:
+            # stash probabilities for the backward pass (skips the whole
+            # softmax recompute there — the dominant VPU cost of this regime)
+            p_ref[:, h] = p
         o_ref[:, :, h * head_dim : (h + 1) * head_dim] = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
 
 
 def _fused_bwd_kernel(
-    qkv_ref, do_ref, dqkv_ref, *, heads: int, head_dim: int, n_valid: int, scale: float
+    qkv_ref, do_ref, dqkv_ref, *, heads: int, head_dim: int, n_valid: int, scale: float,
+    n_array: Optional[int] = None,
 ):
     x = qkv_ref[...]  # [R, N, 3C]
     do3 = do_ref[...]
     n = x.shape[1]
+    n_arr = n_array if n_array is not None else n
     c = heads * head_dim
-    if n_valid < n:
-        # zero OOB-read tails (see fwd kernel); garbage dO rows would
-        # otherwise contaminate dV/dK through the row reductions
+    op_t = x.dtype if _bf16_dots() else jnp.float32
+    if n_arr < n:
+        # The block over-reads past the array's sublane extent (pallas masks
+        # writes but OOB *reads* are undefined); zero those garbage tails —
+        # they would contaminate dV/dK through the row reductions.
         rx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        x = jnp.where(rx < n_valid, x, 0)
+        x = jnp.where(rx < n_arr, x, 0)
         rdo = jax.lax.broadcasted_iota(jnp.int32, do3.shape, 1)
-        do3 = jnp.where(rdo < n_valid, do3, 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], n, n), 2)
+        do3 = jnp.where(rdo < n_arr, do3, 0)
+    if n_valid < n:
+        # hoisted col + per-head select (an additive-bias formulation
+        # crashes Mosaic's layout pass at sublane-granular N)
+        col = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], n, n), 2)
+        kmask = col < n_valid
     for h in range(heads):
         q = x[:, :, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
-        k = x[:, :, c + h * head_dim : c + (h + 1) * head_dim].astype(jnp.float32)
-        v = x[:, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim].astype(jnp.float32)
-        do = do3[:, :, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
+        k = x[:, :, c + h * head_dim : c + (h + 1) * head_dim]
+        v = x[:, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim].astype(op_t)
+        do = do3[:, :, h * head_dim : (h + 1) * head_dim].astype(op_t)
+        q2 = (q * (scale * _LOG2E)).astype(op_t)   # log2-domain score operand
+        kc = k.astype(op_t)
         s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ) * scale
+            q2, kc, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
         if n_valid < n:
-            s = jnp.where(col < n_valid, s, _NEG_INF)
+            s = jnp.where(kmask, s, _NEG_INF)
         m = jnp.max(s, axis=2, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=2, keepdims=True)
+        e = jnp.exp2(s - m)
+        p = e * (1.0 / jnp.sum(e, axis=2, keepdims=True))
         dv = jax.lax.dot_general(
-            p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            p.astype(op_t), do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(
             do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         delta = jnp.sum(p * dp, axis=2, keepdims=True)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta)).astype(op_t)       # unscaled; scale rides the [N,D] operands
+        ks = (k.astype(jnp.float32) * scale).astype(op_t)
         dq = jax.lax.dot_general(
-            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            ds, ks, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         dk = jax.lax.dot_general(
-            ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            ds, q2, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * (1.0 / _LOG2E)                          # q2 carries scale·log2e
+        dqkv_ref[:, :, h * head_dim : (h + 1) * head_dim] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, c + h * head_dim : c + (h + 1) * head_dim] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim] = dv.astype(
+            dqkv_ref.dtype
+        )
+
+
+def _fused_bwd_from_p_kernel(
+    qkv_ref, p_ref, do_ref, dqkv_ref, *, heads: int, head_dim: int, scale: float,
+    n_array: Optional[int] = None,
+):
+    """Backward with the forward's stashed probabilities: no score matmul, no
+    softmax recompute — 4 dots + 4 N² elementwise sweeps per head instead of
+    5 dots + ~11 sweeps. The key-pad mask is implicit (cached p is 0 there)."""
+    x = qkv_ref[...]  # [R, N, 3C]
+    do3 = do_ref[...]
+    n = x.shape[1]
+    n_arr = n_array if n_array is not None else n
+    c = heads * head_dim
+    op_t = x.dtype if _bf16_dots() else jnp.float32
+    if n_arr < n:
+        # zero over-read sublane tails (garbage rows would contaminate the
+        # row reductions; cached p pad rows are finite so 0-weighting works)
+        rx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = jnp.where(rx < n_arr, x, 0)
+        rdo = jax.lax.broadcasted_iota(jnp.int32, do3.shape, 1)
+        do3 = jnp.where(rdo < n_arr, do3, 0)
+    for h in range(heads):
+        q = x[:, :, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
+        k = x[:, :, c + h * head_dim : c + (h + 1) * head_dim].astype(jnp.float32)
+        v = x[:, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim].astype(op_t)
+        do = do3[:, :, h * head_dim : (h + 1) * head_dim].astype(op_t)
+        p = p_ref[:, h].astype(jnp.float32)  # [R, N, N]
+        dv = jax.lax.dot_general(
+            p.astype(op_t), do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(p * dp, axis=2, keepdims=True)
+        ds = (p * (dp - delta)).astype(op_t)  # unscaled; scale rides the [N,D] operands
+        dq = jax.lax.dot_general(
+            ds, (k * scale).astype(op_t), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, (q * scale).astype(op_t), (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         dqkv_ref[:, :, h * head_dim : (h + 1) * head_dim] = dq.astype(dqkv_ref.dtype)
         dqkv_ref[:, :, c + h * head_dim : c + (h + 1) * head_dim] = dk.astype(dqkv_ref.dtype)
@@ -282,9 +379,10 @@ def _fused_attention_padded(qkv: Array, heads: int, head_dim: int, n_valid: int)
     c = heads * head_dim
     scale = head_dim**-0.5
     rows = _rows_per_cell(b)
-    np_ = _round_up(max(n, 128), 128)
+    np_ = _round_up(max(n, 8), 8)  # sublane-granular: N=200 stays 200, not 256
     kern = functools.partial(
-        _fused_fwd_kernel, heads=heads, head_dim=head_dim, n_valid=n_valid, scale=scale
+        _fused_fwd_kernel, heads=heads, head_dim=head_dim, n_valid=n_valid, scale=scale,
+        n_array=n if np_ != n else None,
     )
     return pl.pallas_call(
         kern,
@@ -302,32 +400,90 @@ def _fused_attention_padded(qkv: Array, heads: int, head_dim: int, n_valid: int)
     )(qkv)
 
 
+def _p_cache_enabled() -> bool:
+    """Stash fwd probabilities for bwd (b·h·n² extra HBM per layer — 123 MB
+    at ViT-B bs128 — in exchange for skipping the bwd softmax recompute).
+    Disable with VDK_ATTN_NO_PCACHE=1 for memory-constrained shapes."""
+    import os
+
+    return os.environ.get("VDK_ATTN_NO_PCACHE", "0") != "1"
+
+
 def _fused_vjp_fwd(qkv, heads, head_dim, n_valid):
-    return _fused_attention_padded(qkv, heads, head_dim, n_valid), qkv
+    if not _p_cache_enabled():
+        return _fused_attention_padded(qkv, heads, head_dim, n_valid), (qkv, None)
+    b, n, w = qkv.shape
+    c = heads * head_dim
+    scale = head_dim**-0.5
+    rows = _rows_per_cell(b)
+    np_ = _round_up(max(n, 8), 8)
+    kern = functools.partial(
+        _fused_fwd_kernel, heads=heads, head_dim=head_dim, n_valid=n_valid, scale=scale,
+        n_array=n if np_ != n else None,
+    )
+    o, p = pl.pallas_call(
+        kern,
+        interpret=interpret_forced(),
+        grid=(b // rows,),
+        in_specs=[_row_spec(np_, w, rows)],
+        out_specs=[
+            _row_spec(np_, c, rows),
+            pl.BlockSpec((rows, heads, np_, np_), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, heads, np_, np_), qkv.dtype),
+        ],
+        compiler_params=_PARALLEL,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * heads * np_ * np_ * head_dim,
+            bytes_accessed=(b * n * w + b * n * c + b * heads * np_ * np_) * 2,
+            transcendentals=b * heads * np_ * np_,
+        ),
+    )(qkv)
+    return o, (qkv, p)
 
 
-def _fused_vjp_bwd(heads, head_dim, n_valid, qkv, do):
+def _fused_vjp_bwd(heads, head_dim, n_valid, res, do):
+    qkv, p = res
     b, n, w = qkv.shape
     scale = head_dim**-0.5
     rows = _rows_per_cell(b, bwd=True)
-    np_ = _round_up(max(n, 128), 128)
-    kern = functools.partial(
-        _fused_bwd_kernel, heads=heads, head_dim=head_dim, n_valid=n_valid, scale=scale
-    )
+    np_ = _round_up(max(n, 8), 8)  # sublane-granular (see fwd)
+    if p is None:
+        kern = functools.partial(
+            _fused_bwd_kernel, heads=heads, head_dim=head_dim, n_valid=n_valid, scale=scale,
+            n_array=n if np_ != n else None,
+        )
+        in_specs = [_row_spec(np_, w, rows), _row_spec(np_, heads * head_dim, rows)]
+        args = (qkv, do)
+        flops = 5 * 2 * b * heads * np_ * np_ * head_dim
+    else:
+        kern = functools.partial(
+            _fused_bwd_from_p_kernel, heads=heads, head_dim=head_dim, scale=scale,
+            n_array=n if np_ != n else None,
+        )
+        in_specs = [
+            _row_spec(np_, w, rows),
+            pl.BlockSpec((rows, heads, np_, np_), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            _row_spec(np_, heads * head_dim, rows),
+        ]
+        args = (qkv, p, do)
+        flops = 4 * 2 * b * heads * np_ * np_ * head_dim
     dqkv = pl.pallas_call(
         kern,
         interpret=interpret_forced(),
         grid=(b // rows,),
-        in_specs=[_row_spec(np_, w, rows), _row_spec(np_, heads * head_dim, rows)],
+        in_specs=in_specs,
         out_specs=_row_spec(np_, w, rows),
         out_shape=jax.ShapeDtypeStruct((b, n, w), qkv.dtype),
         compiler_params=_PARALLEL,
         cost_estimate=pl.CostEstimate(
-            flops=5 * 2 * b * heads * np_ * np_ * head_dim,
+            flops=flops,
             bytes_accessed=2 * (b * n * w + b * n * heads * head_dim) * 2,
             transcendentals=b * heads * np_ * np_,
         ),
-    )(qkv, do)
+    )(*args)
     return (dqkv,)
 
 

@@ -93,23 +93,32 @@ def _scatter_windows(o: Array, RB: int, RH: int, nW: int, ws: int, c: int) -> Ar
     return o.reshape(RB, RH * ws, nW * ws, c)
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _region_mask(ids: Array) -> Array:
-    """[G, N] int32 → [G, N, N] f32 additive mask."""
+    """[G, N] int32 → [G, N, N] f32 additive mask (log2-domain value — the
+    scores it joins are ×log2e, see ``_scores``)."""
     return jnp.where(
-        ids[:, :, None] != ids[:, None, :], jnp.float32(_MASK_VAL), jnp.float32(0.0)
+        ids[:, :, None] != ids[:, None, :], jnp.float32(_MASK_VAL * _LOG2E), jnp.float32(0.0)
     )
 
 
 def _scores(q, k, bias_h, mask, G: int, scale: float):
-    """Batched [R, N, N] f32 scores with bias (+ static-shift mask).
+    """Batched [R, N, N] **log2-domain** scores: (scale·QKᵀ + bias + mask)·log2e
+    with log2e folded into the cheap [N,D] q prescale and the [N,N] bias (once
+    per cell), so the softmax can use exp2 without any extra N²·R sweep. The
+    caller's p is unchanged as a function of the inputs — every backward
+    formula stays in the original domain.
 
     Operands are cast to f32 before the dot: measured 602 vs 497 img/s on
     Swin-B train against native-bf16 operands at these tiny K=32 shapes
     (bf16's (16,128) tiling pads the 49-row windows worse than f32's
     (8,128); the conversions are cheap VPU sweeps)."""
     s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale
+        q * (scale * _LOG2E), k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
     s = s + bias_h[None]
     if mask is not None:
         R, N, _ = s.shape
@@ -132,15 +141,16 @@ def _wattn_fwd_kernel(
     G = RH * nW
     scale = head_dim**-0.5 if scale is None else scale
     xw = _gather_windows(qkv_ref[...], RB, RH, nW, ws, c3)  # [R, N, 3C]
+    bias2 = bias_ref[...] * _LOG2E  # log2-domain (once per cell, all heads)
     for h in range(heads):
         lo = h * head_dim
         q = xw[:, :, lo : lo + head_dim].astype(jnp.float32)
         k = xw[:, :, c + lo : c + lo + head_dim].astype(jnp.float32)
         v = xw[:, :, 2 * c + lo : 2 * c + lo + head_dim]
-        s = _scores(q, k, bias_ref[h], mask, G, scale)
+        s = _scores(q, k, bias2[h], mask, G, scale)
         m = jnp.max(s, axis=2, keepdims=True)
-        e = jnp.exp(s - m)
-        p = (e / jnp.sum(e, axis=2, keepdims=True)).astype(v.dtype)
+        e = jnp.exp2(s - m)
+        p = (e * (1.0 / jnp.sum(e, axis=2, keepdims=True))).astype(v.dtype)
         ow[:, :, lo : lo + head_dim] = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ).astype(ow.dtype)
@@ -168,16 +178,17 @@ def _wattn_bwd_kernel(
     scale = head_dim**-0.5 if scale is None else scale
     xw = _gather_windows(qkv_ref[...], RB, RH, nW, ws, c3)  # [R, N, 3C]
     dow = _gather_windows(do_ref[...], RB, RH, nW, ws, c)  # [R, N, C]
+    bias2 = bias_ref[...] * _LOG2E  # log2-domain (once per cell, all heads)
     for h in range(heads):
         lo = h * head_dim
         q = xw[:, :, lo : lo + head_dim].astype(jnp.float32)
         k = xw[:, :, c + lo : c + lo + head_dim].astype(jnp.float32)
         v = xw[:, :, 2 * c + lo : 2 * c + lo + head_dim].astype(jnp.float32)
         do = dow[:, :, lo : lo + head_dim].astype(jnp.float32)
-        s = _scores(q, k, bias_ref[h], mask, G, scale)
+        s = _scores(q, k, bias2[h], mask, G, scale)
         m = jnp.max(s, axis=2, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=2, keepdims=True)
+        e = jnp.exp2(s - m)
+        p = e * (1.0 / jnp.sum(e, axis=2, keepdims=True))
         dv = jax.lax.dot_general(
             p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )

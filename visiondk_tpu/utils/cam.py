@@ -166,7 +166,10 @@ def _to_spatial(fmap: np.ndarray, drop_cls: bool) -> np.ndarray:
     if drop_cls:
         fmap = fmap[1:]
         n -= 1
-    side = int(round(n ** 0.5))
+    # floor, not round: ViT pads the token dim up to a sublane multiple
+    # (vit.py, 197→200) with pad tokens at the END, so the first ⌊√n⌋² rows
+    # are exactly the patch grid; round() would overshoot into the pads
+    side = int(n ** 0.5)
     return fmap[: side * side].reshape(side, side, c)
 
 
