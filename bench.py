@@ -80,17 +80,27 @@ def run(batch=128, train_iters=20, embed_iters=20, warmup=3):
     float(m["loss"])
     train_ips = batch * train_iters / (time.perf_counter() - t0)
 
-    ebatch = {"image": batch_dev["image"]}
-    for _ in range(warmup):
-        f = embed(embed_state, ebatch)
-    float(f.sum())
+    # One dispatch for the whole embed loop: per-iteration dispatch through
+    # the tunnel costs ~50ms wall — more than the ~31ms device step — so a
+    # Python-side loop measures the tunnel, not the chip. The fori_loop
+    # carries acc into the input (loop-carried dependency, can't be hoisted).
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnums=(2,))
+    def embed_n(es, images, iters):
+        def body(_, acc):
+            # data-dependent no-op (acc stays finite → flag is 0) so the loop
+            # body can't be hoisted as loop-invariant
+            flag = (acc[0, 0] > 1e30).astype(images.dtype)
+            f = embed(es, {"image": images ^ flag})
+            return acc + f
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((batch, 128), jnp.float32))
+
+    ebatch = batch_dev["image"]
+    float(embed_n(embed_state, ebatch, embed_iters).sum())  # compile + warm
     t0 = time.perf_counter()
-    acc = None
-    for _ in range(embed_iters):
-        f = embed(embed_state, ebatch)
-        # chain a cheap dependency so iterations cannot be reordered away
-        acc = f if acc is None else acc + f
-    float(acc.sum())
+    float(embed_n(embed_state, ebatch, embed_iters).sum())
     embed_ips = batch * embed_iters / (time.perf_counter() - t0)
 
     # headline = harmonic blend of the two phases (train-dominated workload)

@@ -286,3 +286,8 @@ def _swinv2(embed_dim, depths, num_heads, window_size=8):
 BACKBONES.register(_swinv2(96, (2, 2, 6, 2), (3, 6, 12, 24)), name="swinv2_tiny_window8_256")
 BACKBONES.register(_swinv2(96, (2, 2, 18, 2), (3, 6, 12, 24)), name="swinv2_small_window8_256")
 BACKBONES.register(_swinv2(128, (2, 2, 18, 2), (4, 8, 16, 32)), name="swinv2_base_window8_256")
+BACKBONES.register(
+    # reference recommended list pet.yaml:11 (window12to16: fine-tuned window 16)
+    _swinv2(192, (2, 2, 18, 2), (6, 12, 24, 48), window_size=16),
+    name="swinv2_large_window12to16_192to256",
+)

@@ -65,7 +65,8 @@ class VisionTransformer(nn.Module):
     dropout: float = 0.0
     attention_dropout: float = 0.0
     stochastic_depth_prob: float = 0.0
-    pool: str = "cls"  # "cls" | "mean"
+    pool: str = "cls"  # "cls" | "mean" | "map" (learned-query attention pool)
+    class_token: bool = True  # False: no CLS (SigLIP-style, pool must be mean/map)
     unpooled: bool = False  # num_classes=0: return all tokens [B, N+1, C]
     remat: bool = False  # checkpoint each block: ~O(√L) activation memory
     dtype: Any = jnp.float32
@@ -76,11 +77,12 @@ class VisionTransformer(nn.Module):
         x = x.astype(self.dtype)
         tokens = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype, name="patch_embed")(x)
         B, N, C = tokens.shape
-        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, C), jnp.float32)
-        cls = jnp.broadcast_to(cls.astype(self.dtype), (B, 1, C))
-        tokens = jnp.concatenate([cls, tokens], axis=1)
+        if self.class_token:
+            cls = self.param("cls_token", nn.initializers.zeros, (1, 1, C), jnp.float32)
+            cls = jnp.broadcast_to(cls.astype(self.dtype), (B, 1, C))
+            tokens = jnp.concatenate([cls, tokens], axis=1)
         pos = self.param(
-            "pos_embed", nn.initializers.normal(0.02), (1, N + 1, C), jnp.float32
+            "pos_embed", nn.initializers.normal(0.02), (1, tokens.shape[1], C), jnp.float32
         )
         tokens = tokens + pos.astype(self.dtype)
         tokens = nn.Dropout(self.dropout)(tokens, deterministic=det)
@@ -94,7 +96,7 @@ class VisionTransformer(nn.Module):
         # bwd/optimizer phases end-to-end). Attention masks the pad keys
         # (n_valid); pad rows never influence valid rows and are cropped
         # before pooling.
-        n_tok = N + 1
+        n_tok = tokens.shape[1]
         pad_n = (-n_tok) % 8
         if pad_n:
             tokens = jnp.pad(tokens, ((0, 0), (0, pad_n), (0, 0)))
@@ -118,8 +120,15 @@ class VisionTransformer(nn.Module):
         tokens = nn.LayerNorm(dtype=self.dtype, name="norm")(tokens)
         if self.num_classes == 0 and self.unpooled:
             return tokens.astype(jnp.float32)  # [B, N+1, C] token map
-        if self.pool == "mean":
-            feats = jnp.mean(tokens[:, 1:], axis=1)
+        patch_tokens = tokens[:, 1:] if self.class_token else tokens
+        if self.pool == "map":
+            from visiondk_tpu.models.layers import AttentionPooling
+
+            feats = AttentionPooling(
+                num_heads=self.num_heads, dtype=self.dtype, name="attn_pool"
+            )(patch_tokens)
+        elif self.pool == "mean" or not self.class_token:
+            feats = jnp.mean(patch_tokens, axis=1)
         else:
             feats = tokens[:, 0]
         feats = feats.astype(jnp.float32)
@@ -128,8 +137,10 @@ class VisionTransformer(nn.Module):
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(feats)
 
 
-def _vit(patch_size, embed_dim, depth, num_heads):
+def _vit(patch_size, embed_dim, depth, num_heads, **extra):
     def factory(num_classes: int = 1000, dtype=jnp.float32, **kwargs):
+        cfg = dict(extra)
+        cfg.update(kwargs)
         return VisionTransformer(
             patch_size=patch_size,
             embed_dim=embed_dim,
@@ -137,7 +148,7 @@ def _vit(patch_size, embed_dim, depth, num_heads):
             num_heads=num_heads,
             num_classes=num_classes,
             dtype=dtype,
-            **kwargs,
+            **cfg,
         )
 
     return factory
@@ -148,3 +159,11 @@ BACKBONES.register(_vit(16, 768, 12, 12), name="vit_base_patch16_224")
 BACKBONES.register(_vit(8, 768, 12, 12), name="vit_base_patch8_224")
 BACKBONES.register(_vit(16, 1024, 24, 16), name="vit_large_patch16_224")
 BACKBONES.register(_vit(14, 1280, 32, 16), name="vit_huge_patch14_224")
+# DINOv2 ViT-L/14 (reference recommended list pet.yaml:12; native 518px but
+# the pos_embed here is sized from the input, so any patch-multiple works)
+BACKBONES.register(_vit(14, 1024, 24, 16), name="vit_large_patch14_dinov2")
+# SigLIP so400m (pet.yaml:13): no CLS token, learned-query attention pooling
+BACKBONES.register(
+    _vit(14, 1152, 27, 16, mlp_ratio=4304 / 1152, class_token=False, pool="map"),
+    name="vit_so400m_patch14_siglip_224",
+)
