@@ -59,9 +59,13 @@ Array = jax.Array
 _MASK_VAL = -100.0  # reference shifted_window_mask value (swin region mask)
 
 
-def _plan(B: int, nH: int, nW: int, ws: int, W: int, c3: int, budget: int) -> Tuple[int, int]:
+def _plan(
+    B: int, nH: int, nW: int, ws: int, W: int, c3: int, budget: int,
+    p_bytes_per_window: int = 0,
+) -> Tuple[int, int]:
     """Pick (batch rows RB, window rows RH) per grid cell: enough windows to
-    amortize per-cell overhead, x-block under ``budget`` bytes (bf16)."""
+    amortize per-cell overhead, x-block (+ optional p-cache block) under
+    ``budget`` bytes (bf16)."""
     import os
 
     target = int(os.environ.get("VDK_WATTN_CELL_WINDOWS", "16"))  # windows per cell
@@ -71,7 +75,7 @@ def _plan(B: int, nH: int, nW: int, ws: int, W: int, c3: int, budget: int) -> Tu
             RH = cand
             break
     RB = 1
-    per_b = RH * ws * W * c3 * 2
+    per_b = RH * ws * W * c3 * 2 + RH * nW * p_bytes_per_window
     for cand in range(B, 0, -1):
         if B % cand == 0 and cand * RH * nW <= target and cand * per_b <= budget:
             RB = cand
@@ -128,14 +132,19 @@ def _scores(q, k, bias_h, mask, G: int, scale: float):
 
 def _wattn_fwd_kernel(
     *refs, heads: int, head_dim: int, ws: int, nW: int, RB: int, RH: int,
-    masked: bool, scale: Optional[float],
+    masked: bool, scale: Optional[float], save_p: bool = False,
 ):
     if masked:
-        qkv_ref, bias_ref, ids_ref, o_ref, ow = refs
+        qkv_ref, bias_ref, ids_ref, *rest = refs
         mask = _region_mask(ids_ref[...])  # [G, N, N], G = RH·nW
     else:
-        qkv_ref, bias_ref, o_ref, ow = refs
+        qkv_ref, bias_ref, *rest = refs
         mask = None
+    if save_p:
+        o_ref, p_ref, ow = rest
+    else:
+        o_ref, ow = rest
+        p_ref = None
     c3 = qkv_ref.shape[-1]
     c = c3 // 3
     G = RH * nW
@@ -151,6 +160,12 @@ def _wattn_fwd_kernel(
         m = jnp.max(s, axis=2, keepdims=True)
         e = jnp.exp2(s - m)
         p = (e * (1.0 / jnp.sum(e, axis=2, keepdims=True))).astype(v.dtype)
+        if p_ref is not None:
+            # stash probabilities for backward (skips its score matmul,
+            # bias/mask adds, and softmax recompute — the dominant VPU cost
+            # at these 49-token, 2.6×-lane-padded shapes)
+            N = ws * ws
+            p_ref[:, :, h] = p.reshape(RB, RH * nW, N, N)
         ow[:, :, lo : lo + head_dim] = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ).astype(ow.dtype)
@@ -189,6 +204,54 @@ def _wattn_bwd_kernel(
         m = jnp.max(s, axis=2, keepdims=True)
         e = jnp.exp2(s - m)
         p = e * (1.0 / jnp.sum(e, axis=2, keepdims=True))
+        dv = jax.lax.dot_general(
+            p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(p * dp, axis=2, keepdims=True)
+        ds = p * (dp - delta)  # grad wrt (scaled scores + bias + mask)
+        dbias_ref[h] += jnp.sum(ds, axis=0)
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        dw[:, :, lo : lo + head_dim] = dq.astype(dw.dtype)
+        dw[:, :, c + lo : c + lo + head_dim] = dk.astype(dw.dtype)
+        dw[:, :, 2 * c + lo : 2 * c + lo + head_dim] = dv.astype(dw.dtype)
+    dqkv_ref[...] = _scatter_windows(dw[...], RB, RH, nW, ws, c3)
+
+
+def _wattn_bwd_from_p_kernel(
+    *refs, heads: int, head_dim: int, ws: int, nW: int, RB: int, RH: int,
+    scale: Optional[float],
+):
+    """Backward with the forward's stashed probabilities: no score matmul, no
+    bias/mask adds, no softmax recompute. dbias still accumulates Σ ds across
+    cells (sequential grid); the region mask is implicit in the cached p."""
+    qkv_ref, p_ref, do_ref, dqkv_ref, dbias_ref, dw = refs
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    c3 = qkv_ref.shape[-1]
+    c = c3 // 3
+    N = ws * ws
+    R = RB * RH * nW
+    scale = head_dim**-0.5 if scale is None else scale
+    xw = _gather_windows(qkv_ref[...], RB, RH, nW, ws, c3)  # [R, N, 3C]
+    dow = _gather_windows(do_ref[...], RB, RH, nW, ws, c)  # [R, N, C]
+    for h in range(heads):
+        lo = h * head_dim
+        q = xw[:, :, lo : lo + head_dim].astype(jnp.float32)
+        k = xw[:, :, c + lo : c + lo + head_dim].astype(jnp.float32)
+        v = xw[:, :, 2 * c + lo : 2 * c + lo + head_dim].astype(jnp.float32)
+        do = dow[:, :, lo : lo + head_dim].astype(jnp.float32)
+        p = p_ref[:, :, h].reshape(R, N, N).astype(jnp.float32)
         dv = jax.lax.dot_general(
             p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
@@ -287,31 +350,94 @@ def _wattn_fwd(qkv, bias, ids, heads, scale=None):
     )(*args)
 
 
+def _p_cache_enabled() -> bool:
+    import os
+
+    return os.environ.get("VDK_ATTN_NO_PCACHE", "0") != "1"
+
+
+def _p_spec(RB, G, heads, N):
+    return pl.BlockSpec(
+        (RB, G, heads, N, N), lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
 def _wattn_vjp_fwd(qkv, bias, ids, heads, scale):
-    return _wattn_fwd(qkv, bias, ids, heads, scale), (qkv, bias, ids)
+    if not _p_cache_enabled():
+        return _wattn_fwd(qkv, bias, ids, heads, scale), (qkv, bias, ids, None)
+    B, H, W, c3, c, head_dim, N, ws, nH, nW = _common(qkv, bias, heads)
+    masked = ids is not None
+    RB, RH = _plan(
+        B, nH, nW, ws, W, c3, budget=2_500_000, p_bytes_per_window=heads * N * N * 2
+    )
+    in_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked)
+    kern = functools.partial(
+        _wattn_fwd_kernel,
+        heads=heads, head_dim=head_dim, ws=ws, nW=nW, RB=RB, RH=RH, masked=masked,
+        scale=scale, save_p=True,
+    )
+    R = RB * RH * nW
+    G = RH * nW
+    args = (qkv, bias, ids) if masked else (qkv, bias)
+    o, p = pl.pallas_call(
+        kern,
+        interpret=interpret_forced(),
+        grid=(B // RB, nH // RH),
+        in_specs=in_specs,
+        out_specs=[o_spec, _p_spec(RB, G, heads, N)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W, c), qkv.dtype),
+            jax.ShapeDtypeStruct((B, nH * nW, heads, N, N), qkv.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((R, N, c), qkv.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * nH * nW * heads * N * N * head_dim,
+            bytes_accessed=B * H * W * (c3 + c) * 2 + B * nH * nW * heads * N * N * 2,
+            transcendentals=B * nH * nW * heads * N * N,
+        ),
+    )(*args)
+    return o, (qkv, bias, ids, p)
 
 
 def _wattn_vjp_bwd(heads, scale, res, g):
-    qkv, bias, ids = res
+    qkv, bias, ids, p = res
     B, H, W, c3, c, head_dim, N, ws, nH, nW = _common(qkv, bias, heads)
     masked = ids is not None
-    RB, RH = _plan(B, nH, nW, ws, W, c3, budget=1_500_000)
-    in_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked)
     dbias_spec = pl.BlockSpec(
         (heads, N, N), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM
     )
-    kern = functools.partial(
-        _wattn_bwd_kernel,
-        heads=heads, head_dim=head_dim, ws=ws, nW=nW, RB=RB, RH=RH, masked=masked,
-        scale=scale,
-    )
+    if p is None:
+        RB, RH = _plan(B, nH, nW, ws, W, c3, budget=1_500_000)
+        in_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked)
+        kern = functools.partial(
+            _wattn_bwd_kernel,
+            heads=heads, head_dim=head_dim, ws=ws, nW=nW, RB=RB, RH=RH, masked=masked,
+            scale=scale,
+        )
+        in_specs = in_specs + [o_spec]
+        args = (qkv, bias, ids, g) if masked else (qkv, bias, g)
+        flops = 5 * 2 * B * nH * nW * heads * N * N * head_dim
+    else:
+        RB, RH = _plan(
+            B, nH, nW, ws, W, c3, budget=1_500_000, p_bytes_per_window=heads * N * N * 2
+        )
+        x_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, False)
+        kern = functools.partial(
+            _wattn_bwd_from_p_kernel,
+            heads=heads, head_dim=head_dim, ws=ws, nW=nW, RB=RB, RH=RH, scale=scale,
+        )
+        in_specs = [x_specs[0], _p_spec(RB, RH * nW, heads, N), o_spec]
+        args = (qkv, p, g)
+        flops = 4 * 2 * B * nH * nW * heads * N * N * head_dim
     R = RB * RH * nW
-    args = (qkv, bias, ids, g) if masked else (qkv, bias, g)
     dqkv, dbias = pl.pallas_call(
         kern,
         interpret=interpret_forced(),
         grid=(B // RB, nH // RH),
-        in_specs=in_specs + [o_spec],
+        in_specs=in_specs,
         out_specs=[in_specs[0], dbias_spec],
         out_shape=[
             jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
@@ -323,7 +449,7 @@ def _wattn_vjp_bwd(heads, scale, res, g):
             dimension_semantics=("arbitrary", "arbitrary")
         ),
         cost_estimate=pl.CostEstimate(
-            flops=5 * 2 * B * nH * nW * heads * N * N * head_dim,
+            flops=flops,
             bytes_accessed=2 * B * H * W * (c3 + c) * 2,
             transcendentals=B * nH * nW * heads * N * N,
         ),
