@@ -72,6 +72,35 @@ def test_cam_vit_token_map():
     assert overlay.shape == (32, 32, 3)
 
 
+def test_cam_swin_token_map_no_cls():
+    """Swin token maps are exact H*W squares with NO cls token: _to_spatial
+    must reshape directly instead of dropping a first row (which skews the
+    whole map)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.factory import VisionModel
+    from visiondk_tpu.utils.cam import ClassActivationMaper, _to_spatial
+
+    fm = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    sp = _to_spatial(fm, drop_cls=True)  # 16 = 4x4 exact -> no drop
+    assert sp.shape == (4, 4, 4)
+    assert np.array_equal(sp.reshape(16, 4), fm)
+
+    model = VisionModel(backbone_name="swin_tiny_patch4_window7_224", num_classes=3)
+    x = jnp.zeros((1, 56, 56, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False
+    )
+    cam = ClassActivationMaper(
+        model, method="gradcam", variables=variables, example=x,
+        backbone_name="swin_tiny_patch4_window7_224",
+    )
+    assert cam.target_path.endswith("norm1")
+    overlay = cam(image=np.zeros((56, 56, 3), np.uint8), input_tensor=np.zeros((1, 56, 56, 3), np.float32))
+    assert overlay.shape == (56, 56, 3)
+
+
 def test_predict_images_badcase(tmp_path):
     from visiondk_tpu.engine.visualizer import Visualizer
 

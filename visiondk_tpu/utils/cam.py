@@ -59,7 +59,7 @@ _PERTURB_CHUNK = 64  # channels per jitted batch in the O(C) sweeps
 # the reference's per-arch ``target_layers`` table, utils/cam.py:108-155).
 # The *last* matching path in call order is used.
 _TARGET_PATTERNS: Sequence[Tuple[str, str]] = (
-    (r"^(resnet|resnext|seresnet)", r"stage4_block\d+$"),
+    (r"^(resnet|resnext|resnest|seresnet|wide_resnet|legacy_seresnet)", r"stage4_block\d+$"),
     (r"^convnext", r"stage4_block\d+$"),
     (r"^(vit|deit)", r"block\d+/norm1$"),
     (r"^swin", r"stage\d+_block\d+/norm1$"),
@@ -163,6 +163,11 @@ def _to_spatial(fmap: np.ndarray, drop_cls: bool) -> np.ndarray:
     if fmap.ndim == 3:
         return fmap
     n, c = fmap.shape
+    side = int(n ** 0.5)
+    if side * side == n:
+        # already an exact grid: Swin windows-token maps and cls-free ViTs
+        # (SigLIP) — dropping a "cls" row here would skew the whole map
+        return fmap.reshape(side, side, c)
     if drop_cls:
         fmap = fmap[1:]
         n -= 1
