@@ -360,3 +360,50 @@ def test_vit_padded_tokens_fused_equals_xla(interp, mesh8):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3, err_msg=str(pa)
         )
+
+
+def test_no_pcache_fallback_grads_match(interp, monkeypatch):
+    """VDK_ATTN_NO_PCACHE=1 switches both kernels' backward to flash-style
+    softmax recompute; its gradients must match the default p-cache path."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.backbones.swin import window_region_ids
+    from visiondk_tpu.ops.pallas import fused_qkv_attention, fused_window_attention
+
+    # ViT-style kernel
+    B, N, H, D = 2, 24, 4, 32
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * H * D)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(B, N, H * D)).astype(np.float32))
+
+    def g_attn():
+        return jax.grad(lambda x: jnp.sum(fused_qkv_attention(x, H, n_valid=22) * tgt))(qkv)
+
+    monkeypatch.delenv("VDK_ATTN_NO_PCACHE", raising=False)
+    g_cached = g_attn()
+    monkeypatch.setenv("VDK_ATTN_NO_PCACHE", "1")
+    g_recompute = g_attn()
+    np.testing.assert_allclose(
+        np.asarray(g_cached), np.asarray(g_recompute), atol=1e-5, rtol=1e-5
+    )
+
+    # window kernel (shifted → region mask + dbias path)
+    Bw, Hw, Ww, heads, C, ws = 2, 8, 8, 2, 32, 4
+    Nw = ws * ws
+    ids = jnp.asarray(window_region_ids(Hw, Ww, ws, 2))
+    wqkv = jnp.asarray(rng.normal(size=(Bw, Hw, Ww, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(heads, Nw, Nw)).astype(np.float32) * 0.1)
+
+    def g_wattn():
+        return jax.grad(
+            lambda q, b: jnp.sum(fused_window_attention(q, b, ids, heads) ** 2),
+            argnums=(0, 1),
+        )(wqkv, bias)
+
+    monkeypatch.setenv("VDK_ATTN_NO_PCACHE", "1")
+    gq_r, gb_r = g_wattn()
+    monkeypatch.delenv("VDK_ATTN_NO_PCACHE")
+    gq_c, gb_c = g_wattn()
+    np.testing.assert_allclose(np.asarray(gq_c), np.asarray(gq_r), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_c), np.asarray(gb_r), atol=1e-5, rtol=1e-5)
