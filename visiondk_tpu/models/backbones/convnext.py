@@ -63,7 +63,7 @@ class ConvNeXt(nn.Module):
 
         total_blocks = sum(self.depths)
         block_idx = 0
-        for stage in range(4):
+        for stage in range(len(self.depths)):
             if stage > 0:
                 x = nn.LayerNorm(dtype=self.dtype, name=f"downsample_norm{stage}")(x)
                 x = nn.Conv(

@@ -78,7 +78,13 @@ class MBConv(nn.Module):
             use_bias=False, dtype=self.dtype, name="dw",
         )(y)
         y = nn.silu(norm("bn_dw")(y))
-        y = SEBlock(_make_divisible(in_ch // 4), dtype=self.dtype, name="se")(y)
+        # EfficientNet SE: reduce from the block's INPUT chs (paper: in·0.25),
+        # silu act + plain sigmoid gate (timm parity; mnv3's hard_sigmoid
+        # would corrupt converted checkpoints)
+        y = SEBlock(
+            _make_divisible(in_ch // 4), act=nn.silu, gate=jax.nn.sigmoid,
+            dtype=self.dtype, name="se",
+        )(y)
         y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="project")(y)
         y = norm("bn_project")(y)
         if self.stride == 1 and in_ch == self.out_ch:

@@ -36,17 +36,25 @@ def _make_divisible(v: float, divisor: int = 8) -> int:
 
 
 class SEBlock(nn.Module):
+    """Squeeze-excite. MobileNetV3 flavor by default (relu + hard-sigmoid
+    gate); EfficientNetV2 passes silu + sigmoid (timm parity — the gate
+    choice changes converted-checkpoint outputs, not just training)."""
+
     reduce_ch: int
+    act: Any = None  # default nn.relu
+    gate: Any = None  # default hard_sigmoid
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        act = self.act or nn.relu
+        gate = self.gate or hard_sigmoid
         c = x.shape[-1]
         s = jnp.mean(x, axis=(1, 2))
         s = nn.Dense(self.reduce_ch, dtype=self.dtype, name="fc1")(s)
-        s = nn.relu(s)
+        s = act(s)
         s = nn.Dense(c, dtype=self.dtype, name="fc2")(s)
-        s = hard_sigmoid(s.astype(jnp.float32)).astype(x.dtype)
+        s = gate(s.astype(jnp.float32)).astype(x.dtype)
         return x * s[:, None, None, :]
 
 
@@ -129,6 +137,7 @@ class MobileNetV3(nn.Module):
     last_exp: int = 960
     width_mult: float = 1.0
     num_classes: int = 1000
+    head_width: int = 1280  # post-pool Dense width (timm conv_head)
     unpooled: bool = False
     bn_eval: bool = False
     dtype: Any = jnp.float32
@@ -160,7 +169,7 @@ class MobileNetV3(nn.Module):
         feats = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
         if self.num_classes == 0:
             return feats
-        feats = nn.Dense(1280, dtype=jnp.float32, name="pre_head")(feats)
+        feats = nn.Dense(self.head_width, dtype=jnp.float32, name="pre_head")(feats)
         feats = hard_swish(feats)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(feats)
 

@@ -112,12 +112,17 @@ class WindowAttention(nn.Module):
 
         from visiondk_tpu.ops.pallas import interpret_forced
 
+        from visiondk_tpu.ops.pallas import window_plan_fits
+
         fused_ok = (
             self.use_fused
             and isinstance(B, int)  # symbolic batch (jax.export) → XLA path
             and H % ws == 0
             and W % ws == 0
             and (jax.default_backend() == "tpu" or interpret_forced())
+            # VMEM-feasible plan (wide shapes fall back instead of dying in
+            # Mosaic allocation — ops/pallas/window_attention.plan_fits)
+            and window_plan_fits(B, H, W, 3 * C, ws, h)
         )
         mesh = None
         if fused_ok and jax.device_count() > 1:
@@ -203,7 +208,7 @@ class SwinBlock(nn.Module):
         ws = min(self.window_size, H, W)
         shift = self.shift if ws < min(H, W) else 0
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x).reshape(B, H, W, C)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x).reshape(B, H, W, C)
         # pad H/W to window multiples (timm swin parity: zero-pad bottom/right
         # before windowing, crop after) — enables arbitrary image sizes and
         # progressive resize
@@ -225,7 +230,7 @@ class SwinBlock(nn.Module):
         y = y.reshape(B, N, C)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic=deterministic)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(y, deterministic=deterministic)
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic=deterministic)
 
@@ -247,7 +252,7 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
             axis=-1,
         ).reshape(B, Ho * Wo, 4 * C)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -278,7 +283,7 @@ class SwinTransformer(nn.Module):
         )(x)
         _, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         block_cls = nn.remat(SwinBlock, static_argnums=(2,)) if self.remat else SwinBlock
         total = sum(self.depths)
@@ -302,7 +307,7 @@ class SwinTransformer(nn.Module):
                 res = (-(-res[0] // 2), -(-res[1] // 2))  # ceil: odd edges padded
                 dim *= 2
 
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         if self.num_classes == 0 and self.unpooled:
             return x.astype(jnp.float32)  # [B, H/32·W/32, 8·embed_dim]
         feats = jnp.mean(x, axis=1).astype(jnp.float32)

@@ -23,7 +23,6 @@ from flax import linen as nn
 
 from visiondk_tpu.models.backbones import BACKBONES
 from visiondk_tpu.models.backbones.swin import (
-    PatchMerging,
     window_partition,
     window_region_ids,
     window_reverse,
@@ -31,6 +30,31 @@ from visiondk_tpu.models.backbones.swin import (
 from visiondk_tpu.models.layers import DropPath, Mlp
 
 Array = Any
+
+
+class PatchMergingV2(nn.Module):
+    """SwinV2 patch merging: 2x2 concat → Linear(4C→2C) → LayerNorm(2C).
+    V2 moved the norm *after* the reduction (V1 normalizes the 4C concat);
+    matches timm swin_transformer_v2.PatchMerging for pretrained import."""
+
+    input_resolution: Tuple[int, int]
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        H, W = self.input_resolution
+        B, N, C = x.shape
+        x = x.reshape(B, H, W, C)
+        if H % 2 or W % 2:  # timm parity: pad odd edges before 2x2 merge
+            x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        Ho, Wo = -(-H // 2), -(-W // 2)
+        x = jnp.concatenate(
+            [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
+            axis=-1,
+        ).reshape(B, Ho * Wo, 4 * C)
+        x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 def log_relative_coords(ws: int) -> np.ndarray:
@@ -93,12 +117,17 @@ class WindowAttentionV2(nn.Module):
 
         from visiondk_tpu.ops.pallas import interpret_forced
 
+        from visiondk_tpu.ops.pallas import window_plan_fits
+
         fused_ok = (
             self.use_fused
             and isinstance(B, int)
             and H % ws == 0
             and W % ws == 0
             and (jax.default_backend() == "tpu" or interpret_forced())
+            # VMEM-feasible plan (wide shapes fall back instead of dying in
+            # Mosaic allocation — ops/pallas/window_attention.plan_fits)
+            and window_plan_fits(B, H, W, 3 * C, ws, h)
         )
         mesh = None
         if fused_ok and jax.device_count() > 1:
@@ -203,11 +232,11 @@ class SwinV2Block(nn.Module):
             y = y[:, :H, :W]
         y = y.reshape(B, N, C)
         # V2 post-norm
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(y)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic=deterministic)
 
         y = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(x, deterministic=deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(y)
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic=deterministic)
 
 
@@ -238,7 +267,7 @@ class SwinTransformerV2(nn.Module):
         )(x)
         _, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         block_cls = (
             nn.remat(SwinV2Block, static_argnums=(2,)) if self.remat else SwinV2Block
@@ -260,11 +289,11 @@ class SwinTransformerV2(nn.Module):
                 )(x, det)
                 bidx += 1
             if stage < len(self.depths) - 1:
-                x = PatchMerging(res, dim, dtype=self.dtype, name=f"merge{stage}")(x)
+                x = PatchMergingV2(res, dim, dtype=self.dtype, name=f"merge{stage}")(x)
                 res = (-(-res[0] // 2), -(-res[1] // 2))  # ceil: odd edges padded
                 dim *= 2
 
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         if self.num_classes == 0 and self.unpooled:
             return x.astype(jnp.float32)
         feats = jnp.mean(x, axis=1).astype(jnp.float32)

@@ -30,7 +30,18 @@ class ViTBlock(nn.Module):
     dropout: float = 0.0
     attn_dropout: float = 0.0
     n_valid: Optional[int] = None  # real tokens when N is sublane-padded
+    # timm LayerScale (dinov2: 1e-5): per-channel gammas on both residual
+    # branches; None = no LayerScale params (vanilla ViT)
+    init_values: Optional[float] = None
     dtype: Any = jnp.float32
+
+    def _ls(self, name: str, y: Array) -> Array:
+        if self.init_values is None:
+            return y
+        gamma = self.param(
+            name, nn.initializers.constant(self.init_values), (y.shape[-1],), jnp.float32
+        )
+        return y * gamma.astype(y.dtype)
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -43,6 +54,7 @@ class ViTBlock(nn.Module):
             n_valid=self.n_valid,
             name="attn",
         )(y, deterministic=deterministic)
+        y = self._ls("ls1", y)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic=deterministic)
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = Mlp(
@@ -51,6 +63,7 @@ class ViTBlock(nn.Module):
             dtype=self.dtype,
             name="mlp",
         )(y, deterministic=deterministic)
+        y = self._ls("ls2", y)
         x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic=deterministic)
         return x
 
@@ -67,6 +80,7 @@ class VisionTransformer(nn.Module):
     stochastic_depth_prob: float = 0.0
     pool: str = "cls"  # "cls" | "mean" | "map" (learned-query attention pool)
     class_token: bool = True  # False: no CLS (SigLIP-style, pool must be mean/map)
+    init_values: Optional[float] = None  # LayerScale init (dinov2: 1e-5)
     unpooled: bool = False  # num_classes=0: return all tokens [B, N+1, C]
     remat: bool = False  # checkpoint each block: ~O(√L) activation memory
     dtype: Any = jnp.float32
@@ -111,6 +125,7 @@ class VisionTransformer(nn.Module):
                 dropout=self.dropout,
                 attn_dropout=self.attention_dropout,
                 n_valid=n_tok if pad_n else None,
+                init_values=self.init_values,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(tokens, det)
@@ -122,10 +137,12 @@ class VisionTransformer(nn.Module):
             return tokens.astype(jnp.float32)  # [B, N+1, C] token map
         patch_tokens = tokens[:, 1:] if self.class_token else tokens
         if self.pool == "map":
-            from visiondk_tpu.models.layers import AttentionPooling
+            # timm AttentionPoolLatent layout (siglip import parity)
+            from visiondk_tpu.models.layers import AttentionPoolLatent
 
-            feats = AttentionPooling(
-                num_heads=self.num_heads, dtype=self.dtype, name="attn_pool"
+            feats = AttentionPoolLatent(
+                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                dtype=self.dtype, name="attn_pool",
             )(patch_tokens)
         elif self.pool == "mean" or not self.class_token:
             feats = jnp.mean(patch_tokens, axis=1)
@@ -159,9 +176,14 @@ BACKBONES.register(_vit(16, 768, 12, 12), name="vit_base_patch16_224")
 BACKBONES.register(_vit(8, 768, 12, 12), name="vit_base_patch8_224")
 BACKBONES.register(_vit(16, 1024, 24, 16), name="vit_large_patch16_224")
 BACKBONES.register(_vit(14, 1280, 32, 16), name="vit_huge_patch14_224")
-# DINOv2 ViT-L/14 (reference recommended list pet.yaml:12; native 518px but
-# the pos_embed here is sized from the input, so any patch-multiple works)
-BACKBONES.register(_vit(14, 1024, 24, 16), name="vit_large_patch14_dinov2")
+# DINOv2 ViT-L/14 (reference recommended list pet.yaml:12): timm structural
+# parity — LayerScale with init_values=1e-5 on both residual branches; the
+# pos_embed here is sized from the input, and merge_converted bicubically
+# resizes an imported 518px pos_embed grid to the target size.
+BACKBONES.register(
+    _vit(14, 1024, 24, 16, init_values=1e-5, mlp_ratio=4.0),
+    name="vit_large_patch14_dinov2",
+)
 # SigLIP so400m (pet.yaml:13): no CLS token, learned-query attention pooling
 BACKBONES.register(
     _vit(14, 1152, 27, 16, mlp_ratio=4304 / 1152, class_token=False, pool="map"),

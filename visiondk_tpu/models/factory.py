@@ -101,6 +101,9 @@ class EmbeddingModel(nn.Module):
     feat_dim: int
     head_config: Optional[Dict[str, Any]] = None
     backbone_kwargs: Optional[Dict[str, Any]] = None
+    # partial-FC: pad the head's class dim to this multiple (masked logits) so
+    # odd class counts (58,671 in the reference face recipe) shard evenly
+    class_pad_multiple: int = 1
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -110,7 +113,7 @@ class EmbeddingModel(nn.Module):
         )
         self.neck = EmbeddingNeck(self.feat_dim, dtype=self.dtype)
         if self.head_config is not None:
-            self.head = build_head(self.head_config)
+            self.head = build_head(self.head_config, self.class_pad_multiple)
 
     def embed(self, x: Array, train: bool = False) -> Array:
         fmap = self.backbone(x, train=train)
@@ -121,8 +124,14 @@ class EmbeddingModel(nn.Module):
         return self.head(feats, labels)
 
 
-def get_model(model_cfg: Dict[str, Any], dtype: Any = jnp.float32) -> nn.Module:
-    """Task dispatch mirroring models/smartmodel.py:5-10."""
+def get_model(
+    model_cfg: Dict[str, Any], dtype: Any = jnp.float32, class_pad_multiple: int = 1
+) -> nn.Module:
+    """Task dispatch mirroring models/smartmodel.py:5-10.
+
+    ``class_pad_multiple``: margin-head class-dim padding for partial-FC
+    sharding (see models/heads.MarginHead) — the trainer passes a multiple
+    that any model-axis size divides."""
     task = model_cfg["task"]
     if task == "classification":
         name = canonical_model_name(model_cfg["name"])
@@ -153,6 +162,7 @@ def get_model(model_cfg: Dict[str, Any], dtype: Any = jnp.float32) -> nn.Module:
             feat_dim=feat_dim,
             head_config=model_cfg.get("head"),
             backbone_kwargs=extra,
+            class_pad_multiple=class_pad_multiple,
             dtype=dtype,
         )
     raise ValueError(f"task {task!r} not supported")

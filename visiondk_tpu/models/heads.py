@@ -29,13 +29,37 @@ def _weight_init(key, shape, dtype=jnp.float32):
 
 
 class MarginHead(nn.Module):
-    """Base: holds the [feat_dim, num_class] weight, class-dim partitioned."""
+    """Base: holds the [feat_dim, num_class] weight, class-dim partitioned.
+
+    ``class_pad_multiple``: pad the class dim up to a multiple (default 1 =
+    exact). Real-world class counts are rarely divisible by the mesh's model
+    axis (the reference's flagship recipe has 58,671 classes —
+    configs/faceX/face.yaml:34, an odd number), so partial-FC sharding pads
+    the weight columns and masks the pad logits to −1e9 *after* the margin op
+    — pad classes get zero softmax mass and zero gradient (their columns stay
+    at init), and every head treats them uniformly (mv-softmax would
+    otherwise re-weight a pad column as a hard negative). 128 both lane-aligns
+    the matmul and divides by any power-of-two model axis, keeping the
+    checkpointed weight shape mesh-independent."""
 
     feat_dim: int
     num_class: int
+    class_pad_multiple: int = 1
+
+    @property
+    def padded_classes(self) -> int:
+        m = self.class_pad_multiple
+        return ((self.num_class + m - 1) // m) * m
 
     def _weight(self) -> Array:
-        return self.param("weight", _weight_init, (self.feat_dim, self.num_class))
+        return self.param("weight", _weight_init, (self.feat_dim, self.padded_classes))
+
+    def _mask_pad(self, out: Tuple[Array, Array]) -> Tuple[Array, Array]:
+        logits, aux = out
+        if self.padded_classes == self.num_class:
+            return logits, aux
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        return jnp.where(col < self.num_class, logits, -1e9), aux
 
 
 class ArcFaceHead(MarginHead):
@@ -45,10 +69,10 @@ class ArcFaceHead(MarginHead):
 
     @nn.compact
     def __call__(self, feats: Array, labels: Array) -> Tuple[Array, Array]:
-        return ops.arcface_logits(
+        return self._mask_pad(ops.arcface_logits(
             self._weight(), feats, labels,
             margin_arc=self.margin_arc, margin_am=self.margin_am, scale=self.scale,
-        )
+        ))
 
 
 class MagFaceHead(MarginHead):
@@ -62,12 +86,12 @@ class MagFaceHead(MarginHead):
 
     @nn.compact
     def __call__(self, feats: Array, labels: Array) -> Tuple[Array, Array]:
-        return ops.magface_logits(
+        return self._mask_pad(ops.magface_logits(
             self._weight(), feats, labels,
             margin_am=self.margin_am, scale=self.scale,
             l_a=self.l_a, u_a=self.u_a,
             l_margin=self.l_margin, u_margin=self.u_margin, lamda=self.lamda,
-        )
+        ))
 
 
 class CircleLossHead(MarginHead):
@@ -76,9 +100,9 @@ class CircleLossHead(MarginHead):
 
     @nn.compact
     def __call__(self, feats: Array, labels: Array) -> Tuple[Array, Array]:
-        return ops.circle_logits(
+        return self._mask_pad(ops.circle_logits(
             self._weight(), feats, labels, margin=self.margin, gamma=self.gamma
-        )
+        ))
 
 
 class MVSoftmaxHead(MarginHead):
@@ -89,19 +113,21 @@ class MVSoftmaxHead(MarginHead):
 
     @nn.compact
     def __call__(self, feats: Array, labels: Array) -> Tuple[Array, Array]:
-        return ops.mv_softmax_logits(
+        return self._mask_pad(ops.mv_softmax_logits(
             self._weight(), feats, labels,
             is_am=self.is_am, margin=self.margin,
             mv_weight=self.mv_weight, scale=self.scale,
-        )
+        ))
 
 
-def build_head(head_config: dict) -> nn.Module:
-    """head_config = {head_type: params} — the reference's head_def schema."""
+def build_head(head_config: dict, class_pad_multiple: int = 1) -> nn.Module:
+    """head_config = {head_type: params} — the reference's head_def schema.
+    ``class_pad_multiple``: see MarginHead (partial-FC padding)."""
     (head_type, params), = head_config.items()
     params = dict(params or {})
     feat_dim = params.pop("feat_dim")
     num_class = params.pop("num_class")
+    params.setdefault("class_pad_multiple", class_pad_multiple)
     if head_type == "arcface":
         return ArcFaceHead(feat_dim, num_class, **params)
     if head_type == "magface":

@@ -216,6 +216,42 @@ class AttentionPooling(nn.Module):
         return out[:, 0]
 
 
+class AttentionPoolLatent(nn.Module):
+    """timm ``AttentionPoolLatent`` parity (the siglip 'map' pooling head):
+    learned latent query, fused kv projection, and a residual MLP after the
+    output projection — structurally import-compatible with timm
+    vit_so400m_patch14_siglip checkpoints (convert.py maps attn_pool.*).
+    Differs from ``AttentionPooling`` (the reference's inert
+    built/attention_based_pooler.py design), which normalizes the inputs and
+    has separate k/v projections and no MLP."""
+
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: Array) -> Array:
+        B, N, C = tokens.shape
+        hd = C // self.num_heads
+        latent = self.param(
+            "latent", nn.initializers.normal(C**-0.5), (1, 1, C), jnp.float32
+        )
+        q = nn.Dense(C, dtype=self.dtype, name="q")(
+            jnp.broadcast_to(latent.astype(self.dtype), (B, 1, C))
+        ).reshape(B, 1, self.num_heads, hd)
+        kv = nn.Dense(2 * C, dtype=self.dtype, name="kv")(tokens)
+        k, v = jnp.moveaxis(kv.reshape(B, N, 2, self.num_heads, hd), 2, 0)
+        attn = jnp.einsum(
+            "bqhd,bkhd->bhqk", q * hd**-0.5, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, 1, C)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+        out = out + Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
+        return out[:, 0]
+
+
 def global_avg_pool(x: Array) -> Array:
     """NHWC feature map → [B, C]."""
     return jnp.mean(x, axis=(1, 2))
