@@ -30,6 +30,12 @@ def parse_opt():
              "row-consistent, written after extraction otherwise "
              "(reference memmap_save_path/memmap_load_embedding)",
     )
+    p.add_argument(
+        "--recall_target", type=float, default=None,
+        help="approximate search: per-shard recall target in (0,1] for "
+             "lax.approx_max_k (e.g. 0.95 → 6.5-70x qps on v5e); omit for "
+             "exact faiss-Flat-parity search",
+    )
     return p.parse_args()
 
 
@@ -64,6 +70,7 @@ def main(opt):
         cutoffs=opt.cutoffs,
         mesh=cp.mesh.mesh,
         gallery_cache=opt.embedding_cache,
+        recall_target=opt.recall_target,
     )
     for k, v in metrics.items():
         print(f"{k}: {v}")

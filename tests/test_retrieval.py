@@ -63,3 +63,40 @@ def test_approx_mode_high_recall():
     sa, ia = retrieval.search(queries, gallery, k=k, recall_target=0.95)
     recall = np.mean([len(set(ie[i]) & set(ia[i])) / k for i in range(len(ie))])
     assert recall >= 0.9, recall
+
+
+def test_sharded_pad_with_negative_similarities(mesh8):
+    """Padded-shard exactness (round-2 review weak #5): real matches with
+    NEGATIVE inner product must not be displaced by zero-scoring pad rows.
+    G=101 → padded to 104 on 8 shards; anti-correlated gallery makes every
+    similarity negative."""
+    rng = np.random.default_rng(7)
+    # dominant opposing component in dim 0 ⇒ every similarity negative
+    q = np.concatenate(
+        [3 * np.ones((16, 1)), 0.5 * rng.normal(size=(16, 7))], axis=1
+    ).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    g = np.concatenate(
+        [-3 * np.ones((101, 1)), 0.5 * rng.normal(size=(101, 7))], axis=1
+    ).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    sim = q @ g.T
+    assert (sim < 0).all(), "test setup: all similarities must be negative"
+    k = 9
+    s, i = retrieval.search(q, g, k=k, mesh=mesh8.mesh, query_chunk=16, compute_dtype=jnp.float32)
+    rs, ri = _brute(q, g, k)
+    assert (i < 101).all(), "pad indices leaked into the top-k"
+    np.testing.assert_array_equal(i, ri)
+    np.testing.assert_allclose(s, rs, rtol=1e-5)
+
+
+def test_sharded_approx_recall(mesh8):
+    """recall_target now reaches the sharded branch (was silently dropped)."""
+    rng = np.random.default_rng(3)
+    gallery = rng.normal(size=(2048, 32)).astype(np.float32)
+    queries = rng.normal(size=(64, 32)).astype(np.float32)
+    k = 10
+    se, ie = retrieval.search(queries, gallery, k=k, mesh=mesh8.mesh)
+    sa, ia = retrieval.search(queries, gallery, k=k, mesh=mesh8.mesh, recall_target=0.95)
+    recall = np.mean([len(set(ie[i]) & set(ia[i])) / k for i in range(len(ie))])
+    assert recall >= 0.9, recall

@@ -207,6 +207,7 @@ def valuate(
     mesh=None,
     vis: bool = False,
     gallery_cache: Optional[str] = None,
+    recall_target: Optional[float] = None,
 ) -> Dict[str, Any]:
     """End-to-end CBIR eval (reference cbir/evaluation.py:226-291): embed
     query+gallery → exact top-k IP search (sharded GEMM replaces faiss) →
@@ -215,7 +216,12 @@ def valuate(
     ``gallery_cache``: memmap path for the gallery embeddings (reference's
     memmap_save_path/memmap_load_embedding, cbir/evaluation.py:111-151) —
     loaded when present and row-consistent, written after extraction
-    otherwise, so repeated evals skip re-embedding the gallery."""
+    otherwise, so repeated evals skip re-embedding the gallery.
+
+    ``recall_target``: None → exact search (faiss Flat parity); a float
+    (e.g. 0.95) switches to approx_max_k (6.5–70× qps on v5e at ≥95% recall —
+    the faiss IVF/HNSW analogue). Config key data.val.metrics.recall_target;
+    CLI flag cbir_eval.py --recall_target."""
     q_emb, q_ids = _extract(embed_step, state, query_dataset, batch_size)
     g_emb = (
         load_embedding_cache(gallery_cache, expected_rows=len(gallery_dataset.images))
@@ -233,7 +239,9 @@ def valuate(
     )
 
     k = max(cutoffs)
-    scores, idx = retrieval.search(q_emb, g_emb, k=k, mesh=mesh)
+    scores, idx = retrieval.search(
+        q_emb, g_emb, k=k, mesh=mesh, recall_target=recall_target
+    )
 
     preds = [[gallery_names[j] for j in row] for row in idx]
     # ground truth: gallery items sharing the query's id

@@ -65,21 +65,47 @@ def _merge_local_topk(scores: Array, idx: Array, k: int) -> Tuple[Array, Array]:
     return order_scores, merged_idx
 
 
-def make_sharded_search(mesh: Mesh, k: int, compute_dtype=jnp.bfloat16):
+def make_sharded_search(
+    mesh: Mesh,
+    k: int,
+    compute_dtype=jnp.bfloat16,
+    recall_target: Optional[float] = None,
+    real_g: Optional[int] = None,
+):
     """Build a jitted search(queries, gallery) with the gallery sharded over
-    the mesh's 'data' axis. Gallery size must be divisible by the axis size
-    (pad with -inf-normed rows if needed — see ``pad_gallery``)."""
+    the mesh's 'data' axis (gallery pre-padded to the axis size — see
+    ``pad_gallery``).
 
-    n_shards = mesh.shape["data"]
+    ``real_g``: real (unpadded) gallery row count — pad rows are masked to
+    −inf *before* the per-shard top-k, so they can never displace a real
+    match (a zero-scored pad row would outrank genuine negative-similarity
+    matches). ``recall_target`` switches the per-shard top-k to
+    ``approx_max_k``; the cross-shard merge stays exact, so the end-to-end
+    recall is ≥ the per-shard recall target."""
 
     def _local_search(q, g_local):
         # g_local: [G/n, D] — this device's shard. A tiny gallery can shard
         # below k rows; the merged n·k_local candidates still cover global k
         # because search() clamps k ≤ total gallery size.
         shard_id = jax.lax.axis_index("data")
-        k_local = min(k, g_local.shape[0])
-        local_scores, local_idx = topk_ip(q, g_local, k_local, compute_dtype)
         g_per = g_local.shape[0]
+        k_local = min(k, g_per)
+        sim = jax.lax.dot_general(
+            q.astype(compute_dtype), g_local.astype(compute_dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [Q, g_per]
+        if real_g is not None:
+            # mask pad columns BEFORE the shard-local top-k: a zero-scored pad
+            # occupying a local slot would displace a real negative-similarity
+            # match from the candidate set even if filtered later
+            col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1) + shard_id * g_per
+            sim = jnp.where(col < real_g, sim, -jnp.inf)
+        if recall_target is not None:
+            local_scores, local_idx = jax.lax.approx_max_k(
+                sim, k_local, recall_target=recall_target
+            )
+        else:
+            local_scores, local_idx = jax.lax.top_k(sim, k_local)
         global_idx = local_idx + shard_id * g_per
         # All-gather candidates along the data axis → [n, Q, k] → [Q, n*k].
         all_scores = jax.lax.all_gather(local_scores, "data")
@@ -99,8 +125,9 @@ def make_sharded_search(mesh: Mesh, k: int, compute_dtype=jnp.bfloat16):
 
 
 def pad_gallery(gallery: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
-    """Pad gallery rows to a multiple of the shard count with zero rows
-    (zero IP score — never ranked above any real unit-norm match)."""
+    """Pad gallery rows to a multiple of the shard count. Pad rows are zero
+    but are score-masked to −inf inside the sharded search (zero IP would
+    outrank real negative-similarity matches)."""
     g = gallery.shape[0]
     padded = ((g + multiple - 1) // multiple) * multiple
     if padded == g:
@@ -129,7 +156,10 @@ def search(
 
     if mesh is not None and np.prod([mesh.shape[a] for a in mesh.axis_names]) > 1:
         gallery_p, real_g = pad_gallery(np.asarray(gallery), mesh.shape["data"])
-        fn = make_sharded_search(mesh, k, compute_dtype)
+        fn = make_sharded_search(
+            mesh, k, compute_dtype, recall_target=recall_target,
+            real_g=(real_g if real_g != gallery_p.shape[0] else None),
+        )
         gallery_dev = jax.device_put(
             jnp.asarray(gallery_p), NamedSharding(mesh, P("data", None))
         )
@@ -154,7 +184,6 @@ def search(
         scores_out[start : start + take] = s[:take]
         idx_out[start : start + take] = i[:take]
 
-    # Guard: padded gallery rows score 0.0; clip any that slipped into top-k
-    # (only possible when k ≈ gallery size) back to a valid index.
-    idx_out = np.clip(idx_out, 0, real_g - 1)
+    # Pad rows are −inf-masked in the sharded search and k ≤ real_g, so no
+    # pad index can appear in the top-k — no post-hoc clipping.
     return scores_out, idx_out
