@@ -105,3 +105,130 @@ def test_partial_fc_matches_single_device(setup, mesh4x2):
     np.testing.assert_allclose(
         np.asarray(w1), np.asarray(w2), rtol=1e-2, atol=5e-4
     )
+
+
+@pytest.fixture(scope="module")
+def setup_padded():
+    """Nondivisible class count (67) with class_pad_multiple=8 — the 58,671-
+    class face.yaml scenario in miniature (round-2 review weak #4)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from visiondk_tpu.engine.state import create_train_state
+    from visiondk_tpu.engine.steps import StepConfig, make_train_step
+    from visiondk_tpu.losses import create_lossfn
+    from visiondk_tpu.models.factory import EmbeddingModel
+
+    num_class = 67
+
+    def build(pad_mult):
+        model = EmbeddingModel(
+            backbone_name="resnet18",
+            feat_dim=16,
+            head_config={
+                "arcface": {
+                    "feat_dim": 16, "num_class": num_class,
+                    "margin_arc": 0.35, "margin_am": 0.0, "scale": 32,
+                }
+            },
+            class_pad_multiple=pad_mult,
+        )
+        rng = jax.random.key(0)
+        x = jnp.zeros((8, 32, 32, 3), jnp.float32)
+        y = jnp.zeros((8,), jnp.int32)
+        variables = model.init({"params": rng}, x, y, train=False)
+        tx = optax.sgd(0.05, momentum=0.9)
+        state = create_train_state(variables, tx)
+        step = make_train_step(
+            model, tx, create_lossfn("ce"), StepConfig(task="embedding"),
+            jax.random.key(1), donate=False,
+        )
+        return state, step
+
+    data = np.random.default_rng(0)
+    batch = {
+        "image": np.asarray(data.integers(0, 255, (8, 32, 32, 3)).astype(np.uint8)),
+        "label": np.asarray(data.integers(0, num_class, (8,)).astype(np.int32)),
+    }
+    return build, batch, num_class
+
+
+def test_padded_head_shape_and_placement(setup_padded, mesh4x2):
+    from jax.sharding import PartitionSpec as P
+
+    from visiondk_tpu.engine.state import place_state
+
+    build, batch, num_class = setup_padded
+    state, _ = build(8)
+    _, w = _head_weight_path(state.params)
+    assert w.shape == (16, 72)  # 67 → 72 (multiple of 8)
+    placed = place_state(mesh4x2, state)
+    _, wp = _head_weight_path(placed.params)
+    assert wp.sharding.spec == P(None, "model")
+
+
+def test_padded_head_loss_matches_unpadded(setup_padded):
+    """Pad logits are −1e9-masked ⇒ identical CE loss to the exact-width head
+    (same init on the real columns by construction of init_margin_weight's
+    per-column renorm? no — so compare via identical real-column weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    build, batch, num_class = setup_padded
+    s_pad, step_pad = build(8)
+    s_exact, step_exact = build(1)
+
+    # graft the exact head's columns into the padded head (shared backbone
+    # init by same seed; pad columns keep their own init)
+    path, w_exact = _head_weight_path(s_exact.params)
+    def set_weight(params, new):
+        import flax
+        flat = flax.traverse_util.flatten_dict(params)
+        for k in flat:
+            if "head" in k and k[-1] == "weight":
+                padded = np.array(flat[k])
+                padded[:, :num_class] = np.asarray(new)
+                flat[k] = jnp.asarray(padded)
+        return flax.traverse_util.unflatten_dict(flat)
+
+    s_pad = s_pad.replace(params=set_weight(s_pad.params, w_exact))
+
+    s_pad2, m_pad = step_pad(s_pad, {k: jnp.asarray(v) for k, v in batch.items()}, jnp.float32(0.0))
+    s_ex2, m_ex = step_exact(s_exact, {k: jnp.asarray(v) for k, v in batch.items()}, jnp.float32(0.0))
+    np.testing.assert_allclose(float(m_pad["loss"]), float(m_ex["loss"]), rtol=1e-5)
+
+    # pad columns receive zero gradient: unchanged after the step
+    _, w_before = _head_weight_path(s_pad.params)
+    _, w_after = _head_weight_path(s_pad2.params)
+    np.testing.assert_array_equal(
+        np.asarray(w_before)[:, num_class:], np.asarray(w_after)[:, num_class:]
+    )
+    # real columns DID train
+    assert not np.allclose(
+        np.asarray(w_before)[:, :num_class], np.asarray(w_after)[:, :num_class]
+    )
+
+
+def test_padded_sharded_matches_single(setup_padded, mesh4x2):
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.engine.state import place_state
+    from visiondk_tpu.parallel import build_mesh
+
+    build, batch, num_class = setup_padded
+    state, step = build(8)
+
+    single = build_mesh(devices=jax.devices()[:1])
+    s1 = place_state(single, state)
+    s2 = place_state(mesh4x2, state)
+    b1 = jax.device_put(batch, single.batch)
+    b2 = jax.device_put(batch, mesh4x2.batch)
+    for _ in range(2):
+        s1, m1 = step(s1, b1, jnp.float32(0.0))
+        s2, m2 = step(s2, b2, jnp.float32(0.0))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-3)
+    _, w1 = _head_weight_path(s1.params)
+    _, w2 = _head_weight_path(s2.params)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-2, atol=5e-4)

@@ -86,8 +86,17 @@ class CenterProcessor:
         if train:
             yaml_dump(cfgs, self.project / "config.yaml")
 
-        # model (functional; params created lazily in run_*)
-        self.model = get_model(self.model_cfg, dtype=compute_dtype)
+        # model (functional; params created lazily in run_*). Margin heads pad
+        # the class dim to a 128-lane multiple when the mesh has a model axis:
+        # real class counts (face.yaml:34 → 58,671, odd) don't divide mesh
+        # axes; pad columns are logit-masked (heads.MarginHead) and 128 keeps
+        # the checkpointed shape identical across mesh sizes.
+        pad_mult = 1
+        if self.task in ("face", "cbir") and self.mesh.n_model > 1:
+            pad_mult = int(np.lcm(128, self.mesh.n_model))
+        self.model = get_model(
+            self.model_cfg, dtype=compute_dtype, class_pad_multiple=pad_mult
+        )
 
         # data
         self.data_processor = SmartDataProcessor(
@@ -270,6 +279,10 @@ class CenterProcessor:
             "train", global_bs, seed=self.seed,
             process_index=jax.process_index(), process_count=jax.process_count(),
         )
+        # multi-host stance: val is REPLICATED (every process, identical full
+        # set, primary-only artifacts) — see MeshContext.check_replicated_eval
+        self.mesh.check_replicated_eval(shuffle=False, process_sharded=False,
+                                        logger=logger)
         val_loader = dp.dataloader("val", data_cfg["val"]["bs"])
         steps_per_epoch = max(len(train_loader), 1)
 
@@ -510,6 +523,12 @@ class CenterProcessor:
         from visiondk_tpu.data.datasets import CBIRDatasets
         from visiondk_tpu.data.transforms import create_aug_transforms
 
+        # multi-host stance: embedding eval is REPLICATED — each process embeds
+        # the full query/gallery (identical inputs ⇒ identical retrieval
+        # metrics everywhere); primary-only checkpoint/logging happens in the
+        # caller. See MeshContext.check_replicated_eval for the rationale.
+        self.mesh.check_replicated_eval(shuffle=False, process_sharded=False,
+                                        logger=self.logger)
         val_aug = create_aug_transforms(self.data_cfg["val"]["augment"])
         if self.task == "face":
             pair_txt = self.data_cfg["val"]["pair_txt"]
@@ -525,6 +544,8 @@ class CenterProcessor:
             batch_size=self.data_cfg["val"]["bs"],
             metrics=mcfg.get("metrics", ["mrr", "recall", "precision", "auc", "ndcg"]),
             cutoffs=mcfg.get("cutoffs", [1, 3, 5]),
+            # approx retrieval (lax.approx_max_k) when the config asks for it
+            recall_target=mcfg.get("recall_target"),
             mesh=self.mesh.mesh,
             # NOT used during training (the model changes every epoch); only a
             # config-forced path enables it, mirroring the reference's opt-in
