@@ -72,3 +72,23 @@ def test_initialize_distributed_success(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", lambda **kw: None)
     assert initialize_distributed(coordinator_address="x:1", num_processes=1,
                                   process_id=0) is True
+
+
+def test_replicated_eval_guard(monkeypatch):
+    """Multi-host eval stance (round-2 review weak #6): replicated eval is
+    enforced — a shuffled or process-sharded eval loader under >1 processes
+    raises instead of silently diverging/hanging."""
+    import jax
+
+    from visiondk_tpu.parallel import build_mesh
+
+    ctx = build_mesh()
+    # single process: anything goes (no contract to enforce)
+    ctx.check_replicated_eval(shuffle=True, process_sharded=True)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    ctx.check_replicated_eval(shuffle=False, process_sharded=False)  # ok
+    with pytest.raises(ValueError, match="replicated"):
+        ctx.check_replicated_eval(shuffle=True)
+    with pytest.raises(ValueError, match="replicated"):
+        ctx.check_replicated_eval(process_sharded=True)

@@ -90,6 +90,41 @@ class MeshContext:
     def is_primary(self) -> bool:
         return jax.process_index() == 0
 
+    def check_replicated_eval(self, shuffle: bool = False,
+                              process_sharded: bool = False, logger=None) -> None:
+        """Multi-host eval stance: evaluation is REPLICATED — every process
+        runs the identical full eval pass (deterministic, unsharded loaders),
+        and only the primary writes artifacts.
+
+        Why not primary-only: with a live multi-host mesh the eval/embed steps
+        compile as global SPMD programs (the fused kernels shard_map over it),
+        so every process must participate in the same computation or the
+        program deadlocks. Why not process-sharded loaders: per-process metric
+        shards would need a host-side all-reduce the reference semantics don't
+        define; replication guarantees bitwise-identical metrics on all hosts
+        at the cost of duplicated host-side decode — acceptable at eval
+        cadence (per epoch / save_freq).
+
+        Raises when the loader configuration breaks the replication contract
+        (different processes would feed different data into a global program
+        → divergence or hang).
+        """
+        if jax.process_count() <= 1:
+            return
+        if shuffle or process_sharded:
+            raise ValueError(
+                "multi-host eval must be replicated: eval loaders may not "
+                f"shuffle (got shuffle={shuffle}) or shard by process (got "
+                f"process_sharded={process_sharded}); every process must see "
+                "the identical full eval set (see MeshContext.check_replicated_eval)"
+            )
+        if logger is not None and self.is_primary():
+            msg = (
+                f"multi-host: eval replicated across {jax.process_count()} "
+                "processes (identical inputs, primary-only artifacts)"
+            )
+            logger.both(msg) if hasattr(logger, "both") else logger.info(msg)
+
 
 def build_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
