@@ -407,3 +407,99 @@ def test_no_pcache_fallback_grads_match(interp, monkeypatch):
     gq_c, gb_c = g_wattn()
     np.testing.assert_allclose(np.asarray(gq_c), np.asarray(gq_r), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gb_c), np.asarray(gb_r), atol=1e-5, rtol=1e-5)
+
+
+def test_no_pcache_fallback_grads_match_bf16(interp, monkeypatch):
+    """bf16 production dtype: the p-cache stores bf16-rounded probabilities
+    while the no-pcache path recomputes p in f32, so the two backwards differ
+    by bf16 rounding. Quantify and bound that deviation (ADVICE r2): ≤2e-2
+    absolute on unit-scale inputs (~bf16 eps·√N accumulation), gradients
+    finite, and the two paths agree to the same tolerance for the window
+    kernel too."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.backbones.swin import window_region_ids
+    from visiondk_tpu.ops.pallas import fused_qkv_attention, fused_window_attention
+
+    B, N, H, D = 2, 24, 4, 32
+    rng = np.random.default_rng(9)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * H * D)).astype(np.float32)).astype(jnp.bfloat16)
+    tgt = jnp.asarray(rng.normal(size=(B, N, H * D)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def g_attn():
+        g = jax.grad(
+            lambda x: jnp.sum((fused_qkv_attention(x, H) * tgt).astype(jnp.float32))
+        )(qkv)
+        return np.asarray(g.astype(jnp.float32))
+
+    monkeypatch.delenv("VDK_ATTN_NO_PCACHE", raising=False)
+    g_cached = g_attn()
+    monkeypatch.setenv("VDK_ATTN_NO_PCACHE", "1")
+    g_recompute = g_attn()
+    assert np.isfinite(g_cached).all() and np.isfinite(g_recompute).all()
+    np.testing.assert_allclose(g_cached, g_recompute, atol=2e-2)
+
+    Bw, Hw, Ww, heads, C, ws = 2, 8, 8, 2, 32, 4
+    Nw = ws * ws
+    ids = jnp.asarray(window_region_ids(Hw, Ww, ws, 2))
+    wqkv = jnp.asarray(rng.normal(size=(Bw, Hw, Ww, 3 * C)).astype(np.float32)).astype(jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(size=(heads, Nw, Nw)).astype(np.float32) * 0.1)
+
+    def g_wattn():
+        g = jax.grad(
+            lambda q: jnp.sum(fused_window_attention(q, bias, ids, heads).astype(jnp.float32) ** 2)
+        )(wqkv)
+        return np.asarray(g.astype(jnp.float32))
+
+    monkeypatch.setenv("VDK_ATTN_NO_PCACHE", "1")
+    gw_r = g_wattn()
+    monkeypatch.delenv("VDK_ATTN_NO_PCACHE", raising=False)
+    gw_c = g_wattn()
+    assert np.isfinite(gw_c).all() and np.isfinite(gw_r).all()
+    # measured: 0.1% of elements up to 0.031 (≈2 bf16 ulps at grad scale ~2,
+    # loss = sum of squares) — the expected bf16-rounded-p deviation
+    np.testing.assert_allclose(gw_c, gw_r, atol=6e-2)
+    assert np.mean(np.abs(gw_c - gw_r) > 2e-2) < 0.005
+
+
+def test_rows_per_cell_env_clamped(monkeypatch):
+    """VDK_ATTN_ROWS=0 / negative must not crash or produce a bad grid."""
+    from visiondk_tpu.ops.pallas.attention import _rows_per_cell
+
+    for bad in ("0", "-3"):
+        monkeypatch.setenv("VDK_ATTN_ROWS", bad)
+        assert _rows_per_cell(8) == 1
+    monkeypatch.setenv("VDK_ATTN_ROWS", "64")
+    assert _rows_per_cell(8) == 8  # capped at the batch
+    monkeypatch.delenv("VDK_ATTN_ROWS", raising=False)
+    assert _rows_per_cell(8) == 2
+
+
+def test_window_plan_caps_resident_footprint(monkeypatch):
+    """_plan must shrink RH (not only RB) when a wide stage oversubscribes
+    VMEM even at RB=1 (ADVICE r2): all resident blocks counted."""
+    from visiondk_tpu.ops.pallas.window_attention import (
+        _cell_resident_bytes,
+        _plan,
+        plan_fits,
+    )
+
+    # moderately wide: RH shrinks below the windows-per-cell choice to fit
+    B, nH, nW, ws, W, c3 = 8, 8, 8, 7, 56, 384
+    monkeypatch.setenv("VDK_WATTN_CELL_WINDOWS", "64")  # would pick RH=8
+    RB, RH = _plan(B, nH, nW, ws, W, c3, budget=2_500_000)
+    cap = 6 * 1024 * 1024
+    assert RH < 8, RH
+    assert _cell_resident_bytes(1, RH, ws, W, nW, c3, 0) <= cap, (RB, RH)
+    monkeypatch.delenv("VDK_WATTN_CELL_WINDOWS", raising=False)
+
+    # pathological: one window-row block alone oversubscribes VMEM — no plan
+    # exists; the module gates must fall back to the XLA path
+    assert not plan_fits(8, 896, 896, 1536, 7, 16)
+    # every production Swin-B stage (224px, ws=7) has a feasible plan...
+    for H, C, h in ((56, 128, 4), (28, 256, 8), (14, 512, 16), (7, 1024, 32)):
+        assert plan_fits(64, H, H, 3 * C, 7, h), (H, C)
+    # ...and keeps its round-2 tuned plan (no perf regression)
+    assert _plan(64, 8, 8, 7, 56, 384, budget=2_500_000) == (1, 2)
+    assert _plan(64, 4, 4, 7, 28, 768, budget=2_500_000) == (1, 4)

@@ -361,7 +361,9 @@ def _rows_per_cell(b: int, bwd: bool = False) -> int:
     import os
 
     env = os.environ.get("VDK_ATTN_ROWS_BWD" if bwd else "VDK_ATTN_ROWS")
-    r = int(env) if env else 2
+    # clamp bad overrides: 0 would divide-by-zero below, negatives would
+    # terminate with a negative grid size
+    r = min(max(int(env), 1) if env else 2, max(b, 1))
     while b % r:
         r -= 1
     return r

@@ -59,28 +59,75 @@ Array = jax.Array
 _MASK_VAL = -100.0  # reference shifted_window_mask value (swin region mask)
 
 
+def _cell_resident_bytes(
+    RB: int, RH: int, ws: int, W: int, nW: int, c3: int,
+    p_bytes_per_window: int,
+) -> int:
+    """Upper-bound VMEM footprint of one grid cell: the x/do and o/dqkv
+    blocks, the f32 gathered-window temporaries, one head's [R,N,N] score/p
+    working set, and the optional p-cache block. Conservative — Mosaic may
+    fuse some temporaries away — but it catches the shapes that would
+    otherwise fail at compile time (wide W or nW ≫ the windows target)."""
+    c = c3 // 3
+    N = ws * ws
+    R = RB * RH * nW
+    x_blocks = RB * RH * ws * W * (c3 + c) * 2  # in + out (compute dtype ≤ f32→4; bf16→2)
+    gathered = R * N * (c3 + c) * 4  # xw + dow f32 relayouts
+    scores = R * N * N * 4 * 2  # one head's p + ds
+    p_cache = RB * RH * nW * p_bytes_per_window
+    return x_blocks + gathered + scores + p_cache
+
+
 def _plan(
     B: int, nH: int, nW: int, ws: int, W: int, c3: int, budget: int,
     p_bytes_per_window: int = 0,
 ) -> Tuple[int, int]:
     """Pick (batch rows RB, window rows RH) per grid cell: enough windows to
     amortize per-cell overhead, x-block (+ optional p-cache block) under
-    ``budget`` bytes (bf16)."""
+    ``budget`` bytes (bf16). A hard cap on the FULL resident footprint
+    (x/o blocks + f32 gathered temporaries + score working set) additionally
+    shrinks RH for wide stages — the budget alone only bounds the x block, so
+    a large-W or many-window shape could otherwise pass planning and die in
+    Mosaic VMEM allocation even at RB=1."""
     import os
 
     target = int(os.environ.get("VDK_WATTN_CELL_WINDOWS", "16"))  # windows per cell
+    hard_cap = int(os.environ.get("VDK_WATTN_VMEM_CAP", str(6 * 1024 * 1024)))
     RH = 1
     for cand in range(nH, 0, -1):
         if nH % cand == 0 and cand * nW <= target:
             RH = cand
             break
+    # shrink RH (not just RB) when even a single batch row oversubscribes VMEM
+    while RH > 1 and _cell_resident_bytes(1, RH, ws, W, nW, c3, p_bytes_per_window) > hard_cap:
+        RH = next(c for c in range(RH - 1, 0, -1) if nH % c == 0)
     RB = 1
     per_b = RH * ws * W * c3 * 2 + RH * nW * p_bytes_per_window
     for cand in range(B, 0, -1):
-        if B % cand == 0 and cand * RH * nW <= target and cand * per_b <= budget:
+        if (
+            B % cand == 0
+            and cand * RH * nW <= target
+            and cand * per_b <= budget
+            and _cell_resident_bytes(cand, RH, ws, W, nW, c3, p_bytes_per_window) <= hard_cap
+        ):
             RB = cand
             break
     return RB, RH
+
+
+def plan_fits(B: int, H: int, W: int, c3: int, ws: int, heads: int) -> bool:
+    """True when the fused kernel has a VMEM-feasible plan for this shape.
+    Callers (models/backbones/swin*.py) gate the fused path on this and fall
+    back to XLA windows otherwise — a shape whose single window-row block
+    already oversubscribes VMEM would die in Mosaic allocation."""
+    import os
+
+    hard_cap = int(os.environ.get("VDK_WATTN_VMEM_CAP", str(6 * 1024 * 1024)))
+    nH, nW = H // ws, W // ws
+    N = ws * ws
+    p_bytes = heads * N * N * 2  # fwd p-cache block per window (bf16)
+    _, RH = _plan(B, nH, nW, ws, W, c3, budget=2_500_000, p_bytes_per_window=p_bytes)
+    return _cell_resident_bytes(1, RH, ws, W, nW, c3, p_bytes) <= hard_cap
 
 
 def _gather_windows(x: Array, RB: int, RH: int, nW: int, ws: int, c: int) -> Array:
