@@ -503,3 +503,40 @@ def test_window_plan_caps_resident_footprint(monkeypatch):
     # ...and keeps its round-2 tuned plan (no perf regression)
     assert _plan(64, 8, 8, 7, 56, 384, budget=2_500_000) == (1, 2)
     assert _plan(64, 4, 4, 7, 28, 768, budget=2_500_000) == (1, 4)
+
+
+@pytest.mark.parametrize("shift", [0, 3])
+def test_window_pairing_matches_unpaired(interp, shift, monkeypatch):
+    """Block-diagonal window pairing (P=2, the default when nW is even) ≡ the
+    unpaired kernel at the production ws=7 shape — o, dqkv, AND dbias, fwd
+    and bwd. Cross-window probabilities must underflow to exact zero (the
+    _PAIR_MASK_VAL contract), so tolerances here are pure f32 roundoff."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.backbones.swin import window_region_ids
+    from visiondk_tpu.ops.pallas import fused_window_attention
+
+    B, H, W, heads, C, ws = 2, 14, 14, 4, 64, 7  # stage-3-like: nW=2 → P=2
+    N = ws * ws
+    ids_np = window_region_ids(H, W, ws, shift)
+    ids = jnp.asarray(ids_np) if shift else None
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.normal(size=(B, H, W, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(heads, N, N)).astype(np.float32) * 0.1)
+
+    def run():
+        def loss(q, b):
+            return jnp.sum(fused_window_attention(q, b, ids, heads) ** 2)
+
+        o = fused_window_attention(qkv, bias, ids, heads)
+        gq, gb = jax.grad(loss, argnums=(0, 1))(qkv, bias)
+        return o, gq, gb
+
+    monkeypatch.setenv("VDK_WATTN_PAIR", "2")
+    o2, gq2, gb2 = run()
+    monkeypatch.setenv("VDK_WATTN_PAIR", "1")
+    o1, gq1, gb1 = run()
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gq2), np.asarray(gq1), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb2), np.asarray(gb1), atol=1e-4, rtol=1e-4)

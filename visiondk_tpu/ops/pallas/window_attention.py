@@ -58,10 +58,42 @@ Array = jax.Array
 
 _MASK_VAL = -100.0  # reference shifted_window_mask value (swin region mask)
 
+# Off-diagonal fill for the window-PAIRING mask (see _pick_pair): after the
+# kernel's ×log2e fold this is ≈ -43k, so exp2(s - m) underflows to EXACTLY
+# 0.0 in f32 — cross-window probabilities vanish bit-exactly and the paired
+# kernel computes the same o/dqkv/dbias as the unpaired one.
+_PAIR_MASK_VAL = -30000.0
+
+
+def _pick_pair(nW: int) -> int:
+    """Windows packed block-diagonally into one attention call (opt-in).
+
+    Hypothesis (round 3): the dominant stage-3 calls run at ~6× their DMA
+    floor on thousands of tiny [56,32]×[32,128] MXU ops, so packing P=2
+    windows into one 98-token attention with a -inf-like off-diagonal mask
+    (halving the matmul count; one [104,128] score tile vs two [56,128])
+    should help. MEASURED on the full Swin-B v5e step: 623 → 599 img/s
+    (attn custom calls 36.5 → 40.4 ms). The kernel is bound by VPU sweep
+    AREA (softmax + head-slice relayouts over tile-padded scores), which
+    pairing barely changes, while the [R,N,c]→[R/P,PN,c] regroup adds a
+    relayout per tensor. Kept as an opt-in (VDK_WATTN_PAIR=2, exactness
+    covered by test_window_pairing_matches_unpaired) and as the recorded
+    negative result behind BASELINE.md's Swin roofline. Pairs never cross a
+    window ROW (P must divide nW) so any (RB, RH) cell plan slices the
+    paired p-cache cleanly.
+    """
+    import os
+
+    want = max(1, int(os.environ.get("VDK_WATTN_PAIR", "1") or 1))
+    p = 1
+    while p * 2 <= want and nW % (p * 2) == 0:
+        p *= 2
+    return p
+
 
 def _cell_resident_bytes(
     RB: int, RH: int, ws: int, W: int, nW: int, c3: int,
-    p_bytes_per_window: int,
+    p_bytes_per_window: int, P: int = 1,
 ) -> int:
     """Upper-bound VMEM footprint of one grid cell: the x/do and o/dqkv
     blocks, the f32 gathered-window temporaries, one head's [R,N,N] score/p
@@ -73,14 +105,14 @@ def _cell_resident_bytes(
     R = RB * RH * nW
     x_blocks = RB * RH * ws * W * (c3 + c) * 2  # in + out (compute dtype ≤ f32→4; bf16→2)
     gathered = R * N * (c3 + c) * 4  # xw + dow f32 relayouts
-    scores = R * N * N * 4 * 2  # one head's p + ds
+    scores = R * P * N * N * 4 * 2  # one head's p + ds ([R/P, PN, PN] paired)
     p_cache = RB * RH * nW * p_bytes_per_window
     return x_blocks + gathered + scores + p_cache
 
 
 def _plan(
     B: int, nH: int, nW: int, ws: int, W: int, c3: int, budget: int,
-    p_bytes_per_window: int = 0,
+    p_bytes_per_window: int = 0, P: int = 1,
 ) -> Tuple[int, int]:
     """Pick (batch rows RB, window rows RH) per grid cell: enough windows to
     amortize per-cell overhead, x-block (+ optional p-cache block) under
@@ -99,7 +131,7 @@ def _plan(
             RH = cand
             break
     # shrink RH (not just RB) when even a single batch row oversubscribes VMEM
-    while RH > 1 and _cell_resident_bytes(1, RH, ws, W, nW, c3, p_bytes_per_window) > hard_cap:
+    while RH > 1 and _cell_resident_bytes(1, RH, ws, W, nW, c3, p_bytes_per_window, P) > hard_cap:
         RH = next(c for c in range(RH - 1, 0, -1) if nH % c == 0)
     RB = 1
     per_b = RH * ws * W * c3 * 2 + RH * nW * p_bytes_per_window
@@ -108,7 +140,7 @@ def _plan(
             B % cand == 0
             and cand * RH * nW <= target
             and cand * per_b <= budget
-            and _cell_resident_bytes(cand, RH, ws, W, nW, c3, p_bytes_per_window) <= hard_cap
+            and _cell_resident_bytes(cand, RH, ws, W, nW, c3, p_bytes_per_window, P) <= hard_cap
         ):
             RB = cand
             break
@@ -125,9 +157,10 @@ def plan_fits(B: int, H: int, W: int, c3: int, ws: int, heads: int) -> bool:
     hard_cap = int(os.environ.get("VDK_WATTN_VMEM_CAP", str(6 * 1024 * 1024)))
     nH, nW = H // ws, W // ws
     N = ws * ws
-    p_bytes = heads * N * N * 2  # fwd p-cache block per window (bf16)
-    _, RH = _plan(B, nH, nW, ws, W, c3, budget=2_500_000, p_bytes_per_window=p_bytes)
-    return _cell_resident_bytes(1, RH, ws, W, nW, c3, p_bytes) <= hard_cap
+    P = _pick_pair(nW)
+    p_bytes = heads * N * N * 2 * P  # fwd p-cache block per window (bf16, paired)
+    _, RH = _plan(B, nH, nW, ws, W, c3, budget=2_500_000, p_bytes_per_window=p_bytes, P=P)
+    return _cell_resident_bytes(1, RH, ws, W, nW, c3, p_bytes, P) <= hard_cap
 
 
 def _gather_windows(x: Array, RB: int, RH: int, nW: int, ws: int, c: int) -> Array:
@@ -155,6 +188,28 @@ def _region_mask(ids: Array) -> Array:
     )
 
 
+def _pair_bias(bias: Array, P: int, N: int) -> Array:
+    """[h, N, N] → [h, PN, PN]: the per-window bias on the diagonal blocks,
+    ``_PAIR_MASK_VAL`` off-diagonal (kills cross-window attention exactly —
+    see _pick_pair). Built outside the kernel (tiny, constant index map →
+    fetched to VMEM once for the whole grid)."""
+    if P == 1:
+        return bias
+    blk = jnp.kron(jnp.eye(P, dtype=jnp.int32), jnp.ones((N, N), jnp.int32)) != 0
+    return jnp.where(blk, jnp.tile(bias, (1, P, P)), jnp.float32(_PAIR_MASK_VAL))
+
+
+def _pair_ids(ids: Optional[Array], P: int) -> Optional[Array]:
+    """[G, N] region ids → [G/P, PN], each window slot offset into its own id
+    space so the region mask never matches across paired windows (the pair
+    mask already zeroes those entries; the offset keeps ids well-defined)."""
+    if ids is None or P == 1:
+        return ids
+    G, N = ids.shape
+    off = (jnp.arange(P, dtype=ids.dtype) + 1) * 4096
+    return (ids.reshape(G // P, P, N) + off[None, :, None]).reshape(G // P, P * N)
+
+
 def _scores(q, k, bias_h, mask, G: int, scale: float):
     """Batched [R, N, N] **log2-domain** scores: (scale·QKᵀ + bias + mask)·log2e
     with log2e folded into the cheap [N,D] q prescale and the [N,N] bias (once
@@ -179,11 +234,13 @@ def _scores(q, k, bias_h, mask, G: int, scale: float):
 
 def _wattn_fwd_kernel(
     *refs, heads: int, head_dim: int, ws: int, nW: int, RB: int, RH: int,
-    masked: bool, scale: Optional[float], save_p: bool = False,
+    masked: bool, scale: Optional[float], save_p: bool = False, P: int = 1,
 ):
     if masked:
         qkv_ref, bias_ref, ids_ref, *rest = refs
-        mask = _region_mask(ids_ref[...])  # [G, N, N], G = RH·nW
+        Gp = (RH * nW) // P
+        # ids_ref holds the whole array; take this cell's window-row rows
+        mask = _region_mask(ids_ref[pl.ds(pl.program_id(1) * Gp, Gp)])  # [G/P, PN, PN]
     else:
         qkv_ref, bias_ref, *rest = refs
         mask = None
@@ -194,16 +251,20 @@ def _wattn_fwd_kernel(
         p_ref = None
     c3 = qkv_ref.shape[-1]
     c = c3 // 3
+    N = ws * ws
     G = RH * nW
+    R = RB * G
+    PN = P * N
     scale = head_dim**-0.5 if scale is None else scale
-    xw = _gather_windows(qkv_ref[...], RB, RH, nW, ws, c3)  # [R, N, 3C]
+    # [R, N, 3C] → paired [R/P, PN, 3C]: P windows block-stacked along tokens
+    xw = _gather_windows(qkv_ref[...], RB, RH, nW, ws, c3).reshape(R // P, PN, c3)
     bias2 = bias_ref[...] * _LOG2E  # log2-domain (once per cell, all heads)
     for h in range(heads):
         lo = h * head_dim
         q = xw[:, :, lo : lo + head_dim].astype(jnp.float32)
         k = xw[:, :, c + lo : c + lo + head_dim].astype(jnp.float32)
         v = xw[:, :, 2 * c + lo : 2 * c + lo + head_dim]
-        s = _scores(q, k, bias2[h], mask, G, scale)
+        s = _scores(q, k, bias2[h], mask, G // P, scale)
         m = jnp.max(s, axis=2, keepdims=True)
         e = jnp.exp2(s - m)
         p = (e * (1.0 / jnp.sum(e, axis=2, keepdims=True))).astype(v.dtype)
@@ -211,21 +272,21 @@ def _wattn_fwd_kernel(
             # stash probabilities for backward (skips its score matmul,
             # bias/mask adds, and softmax recompute — the dominant VPU cost
             # at these 49-token, 2.6×-lane-padded shapes)
-            N = ws * ws
-            p_ref[:, :, h] = p.reshape(RB, RH * nW, N, N)
+            p_ref[:, :, h] = p.reshape(RB, G // P, PN, PN)
         ow[:, :, lo : lo + head_dim] = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ).astype(ow.dtype)
-    o_ref[...] = _scatter_windows(ow[...], RB, RH, nW, ws, c)
+    o_ref[...] = _scatter_windows(ow[...].reshape(R, N, c), RB, RH, nW, ws, c)
 
 
 def _wattn_bwd_kernel(
     *refs, heads: int, head_dim: int, ws: int, nW: int, RB: int, RH: int,
-    masked: bool, scale: Optional[float],
+    masked: bool, scale: Optional[float], P: int = 1,
 ):
     if masked:
         qkv_ref, bias_ref, ids_ref, do_ref, dqkv_ref, dbias_ref, dw = refs
-        mask = _region_mask(ids_ref[...])
+        Gp = (RH * nW) // P
+        mask = _region_mask(ids_ref[pl.ds(pl.program_id(1) * Gp, Gp)])
     else:
         qkv_ref, bias_ref, do_ref, dqkv_ref, dbias_ref, dw = refs
         mask = None
@@ -236,10 +297,13 @@ def _wattn_bwd_kernel(
 
     c3 = qkv_ref.shape[-1]
     c = c3 // 3
+    N = ws * ws
     G = RH * nW
+    R = RB * G
+    PN = P * N
     scale = head_dim**-0.5 if scale is None else scale
-    xw = _gather_windows(qkv_ref[...], RB, RH, nW, ws, c3)  # [R, N, 3C]
-    dow = _gather_windows(do_ref[...], RB, RH, nW, ws, c)  # [R, N, C]
+    xw = _gather_windows(qkv_ref[...], RB, RH, nW, ws, c3).reshape(R // P, PN, c3)
+    dow = _gather_windows(do_ref[...], RB, RH, nW, ws, c).reshape(R // P, PN, c)
     bias2 = bias_ref[...] * _LOG2E  # log2-domain (once per cell, all heads)
     for h in range(heads):
         lo = h * head_dim
@@ -247,7 +311,7 @@ def _wattn_bwd_kernel(
         k = xw[:, :, c + lo : c + lo + head_dim].astype(jnp.float32)
         v = xw[:, :, 2 * c + lo : 2 * c + lo + head_dim].astype(jnp.float32)
         do = dow[:, :, lo : lo + head_dim].astype(jnp.float32)
-        s = _scores(q, k, bias2[h], mask, G, scale)
+        s = _scores(q, k, bias2[h], mask, G // P, scale)
         m = jnp.max(s, axis=2, keepdims=True)
         e = jnp.exp2(s - m)
         p = e * (1.0 / jnp.sum(e, axis=2, keepdims=True))
@@ -269,12 +333,12 @@ def _wattn_bwd_kernel(
         dw[:, :, lo : lo + head_dim] = dq.astype(dw.dtype)
         dw[:, :, c + lo : c + lo + head_dim] = dk.astype(dw.dtype)
         dw[:, :, 2 * c + lo : 2 * c + lo + head_dim] = dv.astype(dw.dtype)
-    dqkv_ref[...] = _scatter_windows(dw[...], RB, RH, nW, ws, c3)
+    dqkv_ref[...] = _scatter_windows(dw[...].reshape(R, N, c3), RB, RH, nW, ws, c3)
 
 
 def _wattn_bwd_from_p_kernel(
     *refs, heads: int, head_dim: int, ws: int, nW: int, RB: int, RH: int,
-    scale: Optional[float],
+    scale: Optional[float], P: int = 1,
 ):
     """Backward with the forward's stashed probabilities: no score matmul, no
     bias/mask adds, no softmax recompute. dbias still accumulates Σ ds across
@@ -289,16 +353,17 @@ def _wattn_bwd_from_p_kernel(
     c = c3 // 3
     N = ws * ws
     R = RB * RH * nW
+    PN = P * N
     scale = head_dim**-0.5 if scale is None else scale
-    xw = _gather_windows(qkv_ref[...], RB, RH, nW, ws, c3)  # [R, N, 3C]
-    dow = _gather_windows(do_ref[...], RB, RH, nW, ws, c)  # [R, N, C]
+    xw = _gather_windows(qkv_ref[...], RB, RH, nW, ws, c3).reshape(R // P, PN, c3)
+    dow = _gather_windows(do_ref[...], RB, RH, nW, ws, c).reshape(R // P, PN, c)
     for h in range(heads):
         lo = h * head_dim
         q = xw[:, :, lo : lo + head_dim].astype(jnp.float32)
         k = xw[:, :, c + lo : c + lo + head_dim].astype(jnp.float32)
         v = xw[:, :, 2 * c + lo : 2 * c + lo + head_dim].astype(jnp.float32)
         do = dow[:, :, lo : lo + head_dim].astype(jnp.float32)
-        p = p_ref[:, :, h].reshape(R, N, N).astype(jnp.float32)
+        p = p_ref[:, :, h].reshape(R // P, PN, PN).astype(jnp.float32)
         dv = jax.lax.dot_general(
             p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
@@ -317,7 +382,7 @@ def _wattn_bwd_from_p_kernel(
         dw[:, :, lo : lo + head_dim] = dq.astype(dw.dtype)
         dw[:, :, c + lo : c + lo + head_dim] = dk.astype(dw.dtype)
         dw[:, :, 2 * c + lo : 2 * c + lo + head_dim] = dv.astype(dw.dtype)
-    dqkv_ref[...] = _scatter_windows(dw[...], RB, RH, nW, ws, c3)
+    dqkv_ref[...] = _scatter_windows(dw[...].reshape(R, N, c3), RB, RH, nW, ws, c3)
 
 
 def _common(qkv: Array, bias: Array, heads: int):
@@ -330,15 +395,22 @@ def _common(qkv: Array, bias: Array, heads: int):
     return B, H, W, c3, c, head_dim, N, ws, nH, nW
 
 
-def _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked):
+def _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked, P=1):
     G = RH * nW
+    PN = P * N
     x_spec = pl.BlockSpec(
         (RB, RH * ws, W, c3), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
     )
     bias_spec = pl.BlockSpec(
-        (heads, N, N), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM
+        (heads, PN, PN), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM
     )
-    ids_spec = pl.BlockSpec((G, N), lambda b, i: (i, 0), memory_space=pltpu.VMEM)
+    # whole (tiny) ids array, constant index map — fetched to VMEM once; the
+    # kernel slices its G/P rows itself (a G/P row-block can violate Mosaic's
+    # sublane divisibility when pairing halves it, e.g. 4 rows of an 8-row
+    # array)
+    ids_spec = pl.BlockSpec(
+        (nH * nW // P, PN), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+    )
     o_spec = pl.BlockSpec(
         (RB, RH * ws, W, c), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -369,15 +441,17 @@ def fused_window_attention(
 def _wattn_fwd(qkv, bias, ids, heads, scale=None):
     B, H, W, c3, c, head_dim, N, ws, nH, nW = _common(qkv, bias, heads)
     masked = ids is not None
-    RB, RH = _plan(B, nH, nW, ws, W, c3, budget=2_500_000)
-    in_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked)
+    P = _pick_pair(nW)
+    RB, RH = _plan(B, nH, nW, ws, W, c3, budget=2_500_000, P=P)
+    in_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked, P)
     kern = functools.partial(
         _wattn_fwd_kernel,
         heads=heads, head_dim=head_dim, ws=ws, nW=nW, RB=RB, RH=RH, masked=masked,
-        scale=scale,
+        scale=scale, P=P,
     )
     R = RB * RH * nW
-    args = (qkv, bias, ids) if masked else (qkv, bias)
+    args = (qkv, _pair_bias(bias, P, N), _pair_ids(ids, P)) if masked else (
+        qkv, _pair_bias(bias, P, N))
     return pl.pallas_call(
         kern,
         interpret=interpret_forced(),
@@ -385,7 +459,7 @@ def _wattn_fwd(qkv, bias, ids, heads, scale=None):
         in_specs=in_specs,
         out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, W, c), qkv.dtype),
-        scratch_shapes=[pltpu.VMEM((R, N, c), qkv.dtype)],
+        scratch_shapes=[pltpu.VMEM((R // P, P * N, c), qkv.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
         ),
@@ -403,9 +477,11 @@ def _p_cache_enabled() -> bool:
     return os.environ.get("VDK_ATTN_NO_PCACHE", "0") != "1"
 
 
-def _p_spec(RB, G, heads, N):
+def _p_spec(RB, G, heads, N, P=1):
     return pl.BlockSpec(
-        (RB, G, heads, N, N), lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
+        (RB, G // P, heads, P * N, P * N),
+        lambda b, i: (b, i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
     )
 
 
@@ -414,29 +490,32 @@ def _wattn_vjp_fwd(qkv, bias, ids, heads, scale):
         return _wattn_fwd(qkv, bias, ids, heads, scale), (qkv, bias, ids, None)
     B, H, W, c3, c, head_dim, N, ws, nH, nW = _common(qkv, bias, heads)
     masked = ids is not None
+    P = _pick_pair(nW)
     RB, RH = _plan(
-        B, nH, nW, ws, W, c3, budget=2_500_000, p_bytes_per_window=heads * N * N * 2
+        B, nH, nW, ws, W, c3, budget=2_500_000,
+        p_bytes_per_window=heads * N * N * 2 * P, P=P,
     )
-    in_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked)
+    in_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked, P)
     kern = functools.partial(
         _wattn_fwd_kernel,
         heads=heads, head_dim=head_dim, ws=ws, nW=nW, RB=RB, RH=RH, masked=masked,
-        scale=scale, save_p=True,
+        scale=scale, save_p=True, P=P,
     )
     R = RB * RH * nW
     G = RH * nW
-    args = (qkv, bias, ids) if masked else (qkv, bias)
+    args = (qkv, _pair_bias(bias, P, N), _pair_ids(ids, P)) if masked else (
+        qkv, _pair_bias(bias, P, N))
     o, p = pl.pallas_call(
         kern,
         interpret=interpret_forced(),
         grid=(B // RB, nH // RH),
         in_specs=in_specs,
-        out_specs=[o_spec, _p_spec(RB, G, heads, N)],
+        out_specs=[o_spec, _p_spec(RB, G, heads, N, P)],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, W, c), qkv.dtype),
-            jax.ShapeDtypeStruct((B, nH * nW, heads, N, N), qkv.dtype),
+            jax.ShapeDtypeStruct((B, nH * nW // P, heads, P * N, P * N), qkv.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((R, N, c), qkv.dtype)],
+        scratch_shapes=[pltpu.VMEM((R // P, P * N, c), qkv.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
         ),
@@ -453,34 +532,39 @@ def _wattn_vjp_bwd(heads, scale, res, g):
     qkv, bias, ids, p = res
     B, H, W, c3, c, head_dim, N, ws, nH, nW = _common(qkv, bias, heads)
     masked = ids is not None
+    P = _pick_pair(nW)
+    PN = P * N
     dbias_spec = pl.BlockSpec(
-        (heads, N, N), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM
+        (heads, PN, PN), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM
     )
     if p is None:
-        RB, RH = _plan(B, nH, nW, ws, W, c3, budget=1_500_000)
-        in_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked)
+        RB, RH = _plan(B, nH, nW, ws, W, c3, budget=1_500_000, P=P)
+        in_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked, P)
         kern = functools.partial(
             _wattn_bwd_kernel,
             heads=heads, head_dim=head_dim, ws=ws, nW=nW, RB=RB, RH=RH, masked=masked,
-            scale=scale,
+            scale=scale, P=P,
         )
         in_specs = in_specs + [o_spec]
-        args = (qkv, bias, ids, g) if masked else (qkv, bias, g)
+        args = (qkv, _pair_bias(bias, P, N), _pair_ids(ids, P), g) if masked else (
+            qkv, _pair_bias(bias, P, N), g)
         flops = 5 * 2 * B * nH * nW * heads * N * N * head_dim
     else:
         RB, RH = _plan(
-            B, nH, nW, ws, W, c3, budget=1_500_000, p_bytes_per_window=heads * N * N * 2
+            B, nH, nW, ws, W, c3, budget=1_500_000,
+            p_bytes_per_window=heads * N * N * 2 * P, P=P,
         )
-        x_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, False)
+        x_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, False, P)
         kern = functools.partial(
             _wattn_bwd_from_p_kernel,
             heads=heads, head_dim=head_dim, ws=ws, nW=nW, RB=RB, RH=RH, scale=scale,
+            P=P,
         )
-        in_specs = [x_specs[0], _p_spec(RB, RH * nW, heads, N), o_spec]
+        in_specs = [x_specs[0], _p_spec(RB, RH * nW, heads, N, P), o_spec]
         args = (qkv, p, g)
         flops = 4 * 2 * B * nH * nW * heads * N * N * head_dim
     R = RB * RH * nW
-    dqkv, dbias = pl.pallas_call(
+    dqkv, dbiasP = pl.pallas_call(
         kern,
         interpret=interpret_forced(),
         grid=(B // RB, nH // RH),
@@ -488,9 +572,9 @@ def _wattn_vjp_bwd(heads, scale, res, g):
         out_specs=[in_specs[0], dbias_spec],
         out_shape=[
             jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
-            jax.ShapeDtypeStruct(bias.shape, jnp.float32),
+            jax.ShapeDtypeStruct((heads, PN, PN), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((R, N, c3), qkv.dtype)],
+        scratch_shapes=[pltpu.VMEM((R // P, PN, c3), qkv.dtype)],
         # dbias accumulates across cells → sequential grid
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")
@@ -501,6 +585,12 @@ def _wattn_vjp_bwd(heads, scale, res, g):
             transcendentals=B * nH * nW * heads * N * N,
         ),
     )(*args)
+    if P > 1:
+        # every paired window added its ds into its own diagonal block; the
+        # per-window bias gradient is their sum (cross blocks are exact zeros)
+        dbias = sum(dbiasP[:, j * N : (j + 1) * N, j * N : (j + 1) * N] for j in range(P))
+    else:
+        dbias = dbiasP
     return dqkv, dbias.astype(bias.dtype), None
 
 
