@@ -224,5 +224,7 @@ if __name__ == "__main__":
         run(batch=8, train_iters=3, embed_iters=3, warmup=1)
     elif "--pipeline" in sys.argv:
         run_pipeline()
+    elif "--bs256" in sys.argv:
+        run(batch=256)
     else:
         run()
