@@ -103,7 +103,17 @@ class CenterProcessor:
             self.data_cfg, project=str(self.project),
             rank_is_primary=primary, training=train, task=self.task,
         )
-        self.imgsz = get_imgsz(self.data_cfg["val"]["augment"])
+        # final resize in the val pipeline wins (reference semantics); when the
+        # pipeline has no spatial op (pre-sized data), model.image_size governs
+        self.imgsz = (
+            get_imgsz(self.data_cfg["val"]["augment"])
+            or self.model_cfg.get("image_size")
+        )
+        if self.imgsz is None:
+            raise ValueError(
+                "cannot infer input size: no resize op in data.val.augment and "
+                "model.image_size is unset"
+            )
 
         # loss (vision_engine.py:107-132)
         loss_cfg = self.hyp_cfg["loss"]
