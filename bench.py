@@ -117,6 +117,73 @@ def run(batch=128, train_iters=20, embed_iters=20, warmup=3):
     )
 
 
+def run_embed_quant(batch=128, iters=20):
+    """A/B: bf16 vs int8-dense embedding extraction (ops/quant.py) on the
+    chip. Same fori_loop chaining as run() — one dispatch per variant."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from functools import partial as _partial
+
+    from visiondk_tpu.engine.state import create_train_state
+    from visiondk_tpu.engine.steps import StepConfig, make_embed_step
+    from visiondk_tpu.models.factory import EmbeddingModel
+
+    rng = jax.random.key(0)
+    x = jnp.zeros((batch, 224, 224, 3), jnp.float32)
+    model = EmbeddingModel(
+        backbone_name="vit_base_patch16_224", feat_dim=128, head_config=None,
+        dtype=jnp.bfloat16,
+    )
+    evars = model.init({"params": rng}, x, method=model.embed, train=False)
+    es = create_train_state(evars, optax.sgd(0.0))
+    images = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (batch, 224, 224, 3)).astype(np.uint8)
+    )
+    out = {}
+    feats = {}
+    for tag, quant in (("bf16", None), ("int8", "int8")):
+        embed = make_embed_step(model, StepConfig(), use_ema=False, quant=quant)
+
+        @_partial(jax.jit, static_argnums=(2,))
+        def embed_n(es, images, iters, _embed=embed):
+            def body(_, acc):
+                flag = (acc[0, 0] > 1e30).astype(images.dtype)
+                f = _embed(es, {"image": images ^ flag})
+                return acc + f
+
+            return jax.lax.fori_loop(0, iters, body, jnp.zeros((batch, 128), jnp.float32))
+
+        feats[tag] = np.asarray(embed(es, {"image": images}))
+        float(embed_n(es, images, iters).sum())  # compile + warm
+        t0 = time.perf_counter()
+        float(embed_n(es, images, iters).sum())
+        out[tag] = batch * iters / (time.perf_counter() - t0)
+    cos = float(
+        np.min(
+            (feats["bf16"] * feats["int8"]).sum(-1)
+            / np.maximum(
+                np.linalg.norm(feats["bf16"], axis=-1) * np.linalg.norm(feats["int8"], axis=-1),
+                1e-30,
+            )
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "ViT-B/16 embed images/sec/chip int8 (bs=%d)" % batch,
+                "value": round(out["int8"], 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(out["int8"] / out["bf16"], 3),
+                "bf16_ips": round(out["bf16"], 1),
+                "min_cosine_vs_bf16": round(cos, 5),
+            }
+        )
+    )
+
+
 def _make_toy_imagenet(root, n_classes=8, per_class=64, size=(500, 375)):
     """Disk JPEG fixture matching BASELINE.md's host-decode conditions."""
     import os
@@ -226,5 +293,7 @@ if __name__ == "__main__":
         run_pipeline()
     elif "--bs256" in sys.argv:
         run(batch=256)
+    elif "--embed-int8" in sys.argv:
+        run_embed_quant()
     else:
         run()

@@ -36,6 +36,11 @@ def parse_opt():
              "lax.approx_max_k (e.g. 0.95 → 6.5-70x qps on v5e); omit for "
              "exact faiss-Flat-parity search",
     )
+    p.add_argument(
+        "--quant", type=str, default=None, choices=["int8"],
+        help="int8 dense inference for embedding extraction (ops/quant.py; "
+             "~1.9x MXU rate on v5e, cosine >=0.995 vs f32 features)",
+    )
     return p.parse_args()
 
 
@@ -60,6 +65,7 @@ def main(opt):
         cp.model,
         StepConfig(mean=cp.data_processor.normalization[0], std=cp.data_processor.normalization[1]),
         use_ema=opt.ema,
+        quant=opt.quant,
     )
     val_aug = create_aug_transforms(cfgs["data"]["val"]["augment"])
     query, gallery = CBIRDatasets.build(cfgs["data"]["root"], transforms=val_aug)

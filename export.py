@@ -26,6 +26,9 @@ def parse_opt():
     p.add_argument("--batch", type=int, default=1, help="-1 = symbolic (dynamic) batch")
     p.add_argument("--embed", action="store_true",
                    help="export the embedding head (face/cbir) instead of logits")
+    p.add_argument("--quant", type=str, default=None, choices=["int8"],
+                   help="bake int8 dense inference into the exported program "
+                        "(ops/quant.py; ~2x MXU rate on v5e)")
     return p.parse_args()
 
 
@@ -51,9 +54,9 @@ def main(opt):
     task = cfgs["model"]["task"]
     use_embed = opt.embed or task in ("face", "cbir")
     step = (
-        make_embed_step(cp.model, scfg, use_ema=opt.ema)
+        make_embed_step(cp.model, scfg, use_ema=opt.ema, quant=opt.quant)
         if use_embed
-        else make_eval_step(cp.model, scfg, use_ema=opt.ema)
+        else make_eval_step(cp.model, scfg, use_ema=opt.ema, quant=opt.quant)
     )
 
     def infer(images):

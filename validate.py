@@ -21,6 +21,10 @@ def parse_opt():
     p.add_argument("--ema", action="store_true", help="evaluate the EMA weights")
     p.add_argument("--eval_topk", type=int, default=5)
     p.add_argument("--thresh", type=float, default=None, help="multilabel threshold override")
+    p.add_argument(
+        "--quant", type=str, default=None, choices=["int8"],
+        help="quantized inference for the dense layers (ops/quant.py)",
+    )
     return p.parse_args()
 
 
@@ -51,6 +55,7 @@ def main(opt):
             cp.model,
             StepConfig(mean=cp.data_processor.normalization[0], std=cp.data_processor.normalization[1]),
             use_ema=opt.ema,
+            quant=opt.quant,
         )
         loader = cp.data_processor.dataloader("val", bs)
         thresh = opt.thresh if opt.thresh is not None else (
@@ -75,6 +80,7 @@ def main(opt):
             cp.model,
             StepConfig(mean=cp.data_processor.normalization[0], std=cp.data_processor.normalization[1]),
             use_ema=opt.ema,
+            quant=opt.quant,
         )
         metrics = cp._eval_embedding(embed_step, state)
         print(metrics)

@@ -190,15 +190,28 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, cfg: StepConfig, use_ema: bool = True) -> Callable:
+def _inference_apply(model, quant):
+    """model.apply, optionally routed through the int8 Dense interceptor
+    (ops/quant.py) — inference-only surfaces (eval/embed), never training."""
+    if quant is None:
+        return model.apply
+    from visiondk_tpu.ops.quant import quantized_apply
+
+    return partial(quantized_apply, model)
+
+
+def make_eval_step(
+    model, cfg: StepConfig, use_ema: bool = True, quant: Optional[str] = None
+) -> Callable:
     """Classification eval: (state, batch) -> (logits f32 [B,C]). Metrics are
     reduced on host (mirrors procedure/evaluation.py's loop)."""
+    apply = _inference_apply(model, quant)
 
     def eval_fn(state: TrainState, batch: Dict[str, Array]) -> Array:
         images = device_preprocess(batch["image"], cfg.mean, cfg.std)
         params = state.ema_params if use_ema else state.params
         bs = state.ema_batch_stats if use_ema else state.batch_stats
-        logits = model.apply(
+        logits = apply(
             {"params": params, "batch_stats": bs}, images, train=False
         )
         return logits.astype(jnp.float32)
@@ -206,15 +219,18 @@ def make_eval_step(model, cfg: StepConfig, use_ema: bool = True) -> Callable:
     return jax.jit(eval_fn)
 
 
-def make_embed_step(model, cfg: StepConfig, use_ema: bool = True) -> Callable:
+def make_embed_step(
+    model, cfg: StepConfig, use_ema: bool = True, quant: Optional[str] = None
+) -> Callable:
     """Embedding extraction: (state, batch) -> L2-normalized [B, feat_dim]
     (FeatureExtractor semantics, models/faceX/face_model.py:93-143)."""
+    apply = _inference_apply(model, quant)
 
     def embed_fn(state: TrainState, batch: Dict[str, Array]) -> Array:
         images = device_preprocess(batch["image"], cfg.mean, cfg.std)
         params = state.ema_params if use_ema else state.params
         bs = state.ema_batch_stats if use_ema else state.batch_stats
-        feats = model.apply(
+        feats = apply(
             {"params": params, "batch_stats": bs},
             images,
             train=False,
