@@ -117,7 +117,7 @@ def run(batch=128, train_iters=20, embed_iters=20, warmup=3):
     )
 
 
-def run_embed_quant(batch=128, iters=20):
+def run_embed_quant(batch=128, iters=20, backbone="vit_base_patch16_224", label="ViT-B/16"):
     """A/B: bf16 vs int8-dense embedding extraction (ops/quant.py) on the
     chip. Same fori_loop chaining as run() — one dispatch per variant."""
     import jax
@@ -134,7 +134,7 @@ def run_embed_quant(batch=128, iters=20):
     rng = jax.random.key(0)
     x = jnp.zeros((batch, 224, 224, 3), jnp.float32)
     model = EmbeddingModel(
-        backbone_name="vit_base_patch16_224", feat_dim=128, head_config=None,
+        backbone_name=backbone, feat_dim=128, head_config=None,
         dtype=jnp.bfloat16,
     )
     evars = model.init({"params": rng}, x, method=model.embed, train=False)
@@ -173,7 +173,7 @@ def run_embed_quant(batch=128, iters=20):
     print(
         json.dumps(
             {
-                "metric": "ViT-B/16 embed images/sec/chip int8 (bs=%d)" % batch,
+                "metric": "%s embed images/sec/chip int8 (bs=%d)" % (label, batch),
                 "value": round(out["int8"], 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(out["int8"] / out["bf16"], 3),
@@ -293,6 +293,8 @@ if __name__ == "__main__":
         run_pipeline()
     elif "--bs256" in sys.argv:
         run(batch=256)
+    elif "--embed-int8-swin" in sys.argv:
+        run_embed_quant(backbone="swin_base_patch4_window7_224", label="Swin-B")
     elif "--embed-int8" in sys.argv:
         run_embed_quant()
     else:

@@ -117,6 +117,67 @@ def test_embed_step_quant_int8(tmp_path):
     assert _cos(q, base).min() >= 0.99
 
 
+def test_embed_step_quant_int8_sharded(mesh8):
+    """int8 Dense interceptor + the shard_map'd fused attention kernel in ONE
+    sharded jit (the production serving config under a published mesh):
+    embeddings stay unit-norm, match the single-device int8 output, and stay
+    close to the sharded f32 path."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from visiondk_tpu.engine.state import create_train_state
+    from visiondk_tpu.engine.steps import StepConfig, make_embed_step
+    from visiondk_tpu.models.factory import get_model
+    from visiondk_tpu.ops.pallas import force_interpret
+    from visiondk_tpu.parallel.mesh import set_current_mesh
+
+    cfg = {
+        "task": "cbir",
+        "backbone": {"vit_small_patch16_224": {"feat_dim": 24, "image_size": 32}},
+        "head": {
+            "arcface": {
+                "feat_dim": 24, "num_class": 8,
+                "margin_arc": 0.35, "margin_am": 0.0, "scale": 32,
+            }
+        },
+    }
+    model = get_model(cfg, dtype=jnp.float32)
+    rng = jax.random.key(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((2, 32, 32, 3)), jnp.zeros((2,), jnp.int32), train=False,
+    )
+    state = create_train_state(variables, optax.sgd(0.0))
+    imgs = np.random.default_rng(5).integers(0, 255, (8, 32, 32, 3)).astype(np.uint8)
+
+    with force_interpret():
+        # single-device int8 baseline (no mesh published → XLA attention path)
+        base_q = np.asarray(
+            make_embed_step(model, StepConfig(), use_ema=False, quant="int8")(
+                state, {"image": jnp.asarray(imgs)}
+            )
+        )
+        set_current_mesh(mesh8.mesh)
+        sharded = jax.device_put(imgs, mesh8.batch)
+        q = np.asarray(
+            make_embed_step(model, StepConfig(), use_ema=False, quant="int8")(
+                state, {"image": sharded}
+            )
+        )
+        f32 = np.asarray(
+            make_embed_step(model, StepConfig(), use_ema=False)(
+                state, {"image": sharded}
+            )
+        )
+    np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-4)
+    # same int8 math, different attention kernel (fused vs XLA): the ~4e-3
+    # kernel drift moves activation absmax → different quant grids, so
+    # elementwise equality is the wrong contract; direction is.
+    assert _cos(q, base_q).min() >= 0.995
+    assert _cos(q, f32).min() >= 0.99
+
+
 def test_export_int8_roundtrip():
     """The int8 path survives jax.export serialize → deserialize → call
     (export.py --quant int8): quantization is baked into the StableHLO."""
