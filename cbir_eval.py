@@ -61,11 +61,20 @@ def main(opt):
     state = cp._init_state(tx, (cfgs["data"]["val"]["bs"], cp.imgsz, cp.imgsz, 3))
     state, _ = CheckpointManager(weight.parent).restore(weight.name, state)
 
+    # serving weights are fixed: prequantize Dense kernels once (skips the
+    # in-graph weight absmax/round pass on every batch)
+    qcache = None
+    if opt.quant == "int8":
+        from visiondk_tpu.ops.quant import build_weight_cache
+
+        qcache = build_weight_cache(state.ema_params if opt.ema else state.params)
+
     embed_step = make_embed_step(
         cp.model,
         StepConfig(mean=cp.data_processor.normalization[0], std=cp.data_processor.normalization[1]),
         use_ema=opt.ema,
         quant=opt.quant,
+        quant_cache=qcache,
     )
     val_aug = create_aug_transforms(cfgs["data"]["val"]["augment"])
     query, gallery = CBIRDatasets.build(cfgs["data"]["root"], transforms=val_aug)

@@ -53,10 +53,17 @@ def main(opt):
     scfg = StepConfig(mean=mean, std=std)
     task = cfgs["model"]["task"]
     use_embed = opt.embed or task in ("face", "cbir")
+    # exported weights are fixed: prequantize Dense kernels once — the
+    # StableHLO then bakes int8 kernels instead of a per-call quantize pass
+    qcache = None
+    if opt.quant == "int8":
+        from visiondk_tpu.ops.quant import build_weight_cache
+
+        qcache = build_weight_cache(state.ema_params if opt.ema else state.params)
     step = (
-        make_embed_step(cp.model, scfg, use_ema=opt.ema, quant=opt.quant)
+        make_embed_step(cp.model, scfg, use_ema=opt.ema, quant=opt.quant, quant_cache=qcache)
         if use_embed
-        else make_eval_step(cp.model, scfg, use_ema=opt.ema, quant=opt.quant)
+        else make_eval_step(cp.model, scfg, use_ema=opt.ema, quant=opt.quant, quant_cache=qcache)
     )
 
     def infer(images):

@@ -42,6 +42,20 @@ def test_backbone_classification_forward(name):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_mobilenetv3_head_widths_match_timm():
+    """MobileNetV3 conv_head widths (paper Table 2 / timm head_chs): small is
+    576→1024, large is 960→1280 — a wrong width silently fails pretrained
+    import (non-strict merge leaves pre_head/fc at random init)."""
+    import jax
+    import jax.numpy as jnp
+
+    for name, want in (("mobilenetv3_small_100", (576, 1024)),
+                       ("mobilenetv3_large_100", (960, 1280))):
+        model = BACKBONES.create(name, num_classes=3)
+        v = model.init({"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 3)), train=False)
+        assert v["params"]["pre_head"]["kernel"].shape == want, name
+
+
 @pytest.mark.parametrize("name,size", [("resnet18", 64), ("mobilenetv3_small_100", 64),
                                        ("efficientnetv2_s", 64), ("vit_small_patch16_224", 64)])
 def test_backbone_unpooled_feature_mode(name, size):

@@ -30,6 +30,36 @@ def test_ce_label_smoothing_matches_torch():
         assert abs(ours - ref) < 1e-5, (s, ours, ref)
 
 
+def test_ce_smoothing_over_padded_classes():
+    """Margin heads pad the class dim and mask pad logits to −1e9
+    (models/heads.py); smoothing must spread its mass over the REAL classes
+    only (valid_class, wired by trainer.py), or every pad column adds
+    ~ls/C·1e9 to each sample's loss."""
+    logits, labels = _logits(B=8, C=5, seed=3)
+    pad = np.full((8, 3), -1e9, np.float32)  # 5 real + 3 pad columns
+    padded = np.concatenate([logits, pad], axis=1)
+    for s in (0.05, 0.2):
+        exact = float(
+            nn.CrossEntropyLoss(label_smoothing=s)(
+                torch.tensor(logits), torch.tensor(labels, dtype=torch.long)
+            )
+        )
+        ours = float(
+            L.softmax_cross_entropy(
+                jnp.asarray(padded), jnp.asarray(labels), s, valid_class=5
+            )
+        )
+        assert abs(ours - exact) < 1e-5, (s, ours, exact)
+        # without valid_class the pad mass lands on −1e9 columns: the loss
+        # explodes by ~ls·(3/8)·1e9 — the bug this parameter exists to prevent
+        broken = float(L.softmax_cross_entropy(jnp.asarray(padded), jnp.asarray(labels), s))
+        assert broken > 1e6
+    # no smoothing: pads are softmax-zero, valid_class is a no-op either way
+    a = float(L.softmax_cross_entropy(jnp.asarray(padded), jnp.asarray(labels), 0.0, valid_class=5))
+    b = float(L.softmax_cross_entropy(jnp.asarray(logits), jnp.asarray(labels), 0.0))
+    assert abs(a - b) < 1e-5
+
+
 def test_bce_matches_torch():
     rng = np.random.default_rng(1)
     logits = rng.normal(size=(8, 5)).astype(np.float32)

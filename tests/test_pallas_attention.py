@@ -504,6 +504,17 @@ def test_window_plan_caps_resident_footprint(monkeypatch):
     assert _plan(64, 8, 8, 7, 56, 384, budget=2_500_000) == (1, 2)
     assert _plan(64, 4, 4, 7, 28, 768, budget=2_500_000) == (1, 4)
 
+    # f32 blocks are 2× the bf16 estimate: the footprint must use the real
+    # dtype size (a bf16 assumption would approve plans that die in Mosaic)
+    assert _cell_resident_bytes(1, 2, 7, 56, 8, 384, 0, elt_bytes=4) > (
+        _cell_resident_bytes(1, 2, 7, 56, 8, 384, 0, elt_bytes=2)
+    )
+    # a shape near the cap in bf16 must plan at least as conservatively in f32
+    rb2, rh2 = _plan(8, 8, 8, 7, 56, 1536, budget=2_500_000, elt_bytes=2)
+    rb4, rh4 = _plan(8, 8, 8, 7, 56, 1536, budget=2_500_000, elt_bytes=4)
+    assert (rb4, rh4) <= (rb2, rh2)
+    assert plan_fits(64, 56, 56, 384, 7, 4, elt_bytes=4)  # Swin-B stage-1 f32 still fits
+
 
 @pytest.mark.parametrize("shift", [0, 3])
 def test_window_pairing_matches_unpaired(interp, shift, monkeypatch):

@@ -208,6 +208,29 @@ def test_export_int8_roundtrip():
     )
 
 
+def test_weight_cache_matches_in_graph_quant():
+    """build_weight_cache + quantized_apply(weight_cache=...) must be
+    bit-identical to the in-graph weight-quant path (same math, just hoisted),
+    and the cache must cover exactly the 2-D Dense kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.backbones import BACKBONES
+    from visiondk_tpu.ops.quant import build_weight_cache, quantized_apply
+
+    model = BACKBONES.create("vit_small_patch16_224", num_classes=7)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 32, 32, 3)).astype(np.float32))
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    cache = build_weight_cache(variables["params"])
+    assert cache, "no Dense kernels found"
+    for key, (q, s) in cache.items():
+        assert q.dtype == jnp.int8, key
+        assert q.ndim == 2 and s.shape == (1, q.shape[1]), key
+    dynamic = quantized_apply(model, variables, x, train=False)
+    cached = quantized_apply(model, variables, x, train=False, weight_cache=cache)
+    np.testing.assert_array_equal(np.asarray(dynamic), np.asarray(cached))
+
+
 def test_check_quant_rejects_unknown():
     from visiondk_tpu.ops.quant import check_quant
 

@@ -50,12 +50,21 @@ def main(opt):
     state, meta = mgr.restore(weight.name, state)
     print(f"loaded {weight} (epoch {meta.get('epoch')}, best_fitness {meta.get('best_fitness')})")
 
+    # serving weights are fixed: prequantize Dense kernels once instead of
+    # paying the in-graph weight absmax/round pass on every batch
+    qcache = None
+    if opt.quant == "int8":
+        from visiondk_tpu.ops.quant import build_weight_cache
+
+        qcache = build_weight_cache(state.ema_params if opt.ema else state.params)
+
     if task == "classification":
         eval_step = make_eval_step(
             cp.model,
             StepConfig(mean=cp.data_processor.normalization[0], std=cp.data_processor.normalization[1]),
             use_ema=opt.ema,
             quant=opt.quant,
+            quant_cache=qcache,
         )
         loader = cp.data_processor.dataloader("val", bs)
         thresh = opt.thresh if opt.thresh is not None else (
@@ -81,6 +90,7 @@ def main(opt):
             StepConfig(mean=cp.data_processor.normalization[0], std=cp.data_processor.normalization[1]),
             use_ema=opt.ema,
             quant=opt.quant,
+            quant_cache=qcache,
         )
         metrics = cp._eval_embedding(embed_step, state)
         print(metrics)

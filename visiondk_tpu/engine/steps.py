@@ -190,22 +190,28 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def _inference_apply(model, quant):
+def _inference_apply(model, quant, quant_cache=None):
     """model.apply, optionally routed through the int8 Dense interceptor
-    (ops/quant.py) — inference-only surfaces (eval/embed), never training."""
+    (ops/quant.py) — inference-only surfaces (eval/embed), never training.
+    ``quant_cache`` (ops.quant.build_weight_cache over the SAME param tree the
+    step consumes) skips the per-batch in-graph weight quantization; serving
+    CLIs pass it, training-time eval must not (weights move every epoch)."""
+    from visiondk_tpu.ops.quant import check_quant, quantized_apply
+
+    quant = check_quant(quant)  # reject typos ('int4', 'fp8') loudly
     if quant is None:
         return model.apply
-    from visiondk_tpu.ops.quant import quantized_apply
 
-    return partial(quantized_apply, model)
+    return partial(quantized_apply, model, weight_cache=quant_cache)
 
 
 def make_eval_step(
-    model, cfg: StepConfig, use_ema: bool = True, quant: Optional[str] = None
+    model, cfg: StepConfig, use_ema: bool = True, quant: Optional[str] = None,
+    quant_cache=None,
 ) -> Callable:
     """Classification eval: (state, batch) -> (logits f32 [B,C]). Metrics are
     reduced on host (mirrors procedure/evaluation.py's loop)."""
-    apply = _inference_apply(model, quant)
+    apply = _inference_apply(model, quant, quant_cache)
 
     def eval_fn(state: TrainState, batch: Dict[str, Array]) -> Array:
         images = device_preprocess(batch["image"], cfg.mean, cfg.std)
@@ -220,11 +226,12 @@ def make_eval_step(
 
 
 def make_embed_step(
-    model, cfg: StepConfig, use_ema: bool = True, quant: Optional[str] = None
+    model, cfg: StepConfig, use_ema: bool = True, quant: Optional[str] = None,
+    quant_cache=None,
 ) -> Callable:
     """Embedding extraction: (state, batch) -> L2-normalized [B, feat_dim]
     (FeatureExtractor semantics, models/faceX/face_model.py:93-143)."""
-    apply = _inference_apply(model, quant)
+    apply = _inference_apply(model, quant, quant_cache)
 
     def embed_fn(state: TrainState, batch: Dict[str, Array]) -> Array:
         images = device_preprocess(batch["image"], cfg.mean, cfg.std)

@@ -87,12 +87,16 @@ class CenterProcessor:
             yaml_dump(cfgs, self.project / "config.yaml")
 
         # model (functional; params created lazily in run_*). Margin heads pad
-        # the class dim to a 128-lane multiple when the mesh has a model axis:
-        # real class counts (face.yaml:34 → 58,671, odd) don't divide mesh
-        # axes; pad columns are logit-masked (heads.MarginHead) and 128 keeps
-        # the checkpointed shape identical across mesh sizes.
+        # the class dim to a 128-lane multiple: real class counts
+        # (face.yaml:34 → 58,671, odd) don't divide mesh axes; pad columns are
+        # logit-masked (heads.MarginHead). Padding is UNCONDITIONAL for the
+        # embedding tasks (not gated on n_model>1) so the checkpointed weight
+        # shape is the same on a single chip and on any power-of-two mesh —
+        # train-on-pod/resume-on-chip round-trips. (A non-power-of-two model
+        # axis changes the lcm and therefore the shape; cross-mesh resume is
+        # supported between meshes whose model axes divide 128.)
         pad_mult = 1
-        if self.task in ("face", "cbir") and self.mesh.n_model > 1:
+        if self.task in ("face", "cbir"):
             pad_mult = int(np.lcm(128, self.mesh.n_model))
         self.model = get_model(
             self.model_cfg, dtype=compute_dtype, class_pad_multiple=pad_mult
@@ -120,7 +124,16 @@ class CenterProcessor:
         self.loss_choice = "ce" if loss_cfg.get("ce") else "bce"
         label_smooth = self.hyp_cfg.get("label_smooth", 0.0)
         if self.loss_choice == "ce":
-            self.lossfn = create_lossfn("ce", label_smooth=label_smooth)
+            # embedding heads pad the class dim (see pad_mult above): smoothing
+            # must distribute mass over the REAL classes only, or every −1e9
+            # pad column adds ~ls/C·1e9 to the loss
+            valid = None
+            if self.task in ("face", "cbir"):
+                head_cfg = next(iter(self.model_cfg["head"].values()))
+                valid = int(head_cfg["num_class"])
+            self.lossfn = create_lossfn(
+                "ce", label_smooth=label_smooth, valid_class=valid
+            )
             self.thresh = 0
         else:
             self.lossfn = create_lossfn("bce")
@@ -290,10 +303,14 @@ class CenterProcessor:
             process_index=jax.process_index(), process_count=jax.process_count(),
         )
         # multi-host stance: val is REPLICATED (every process, identical full
-        # set, primary-only artifacts) — see MeshContext.check_replicated_eval
-        self.mesh.check_replicated_eval(shuffle=False, process_sharded=False,
-                                        logger=logger)
+        # set, primary-only artifacts) — checked against the loader actually
+        # built, not against assumed literals
         val_loader = dp.dataloader("val", data_cfg["val"]["bs"])
+        self.mesh.check_replicated_eval(
+            shuffle=bool(getattr(val_loader, "shuffle", False)),
+            process_sharded=int(getattr(val_loader, "process_count", 1)) > 1,
+            logger=logger,
+        )
         steps_per_epoch = max(len(train_loader), 1)
 
         if primary:
@@ -536,7 +553,10 @@ class CenterProcessor:
         # multi-host stance: embedding eval is REPLICATED — each process embeds
         # the full query/gallery (identical inputs ⇒ identical retrieval
         # metrics everywhere); primary-only checkpoint/logging happens in the
-        # caller. See MeshContext.check_replicated_eval for the rationale.
+        # caller. The values here are true BY CONSTRUCTION of the eval loaders
+        # (face_eval.py builds shuffle=False/no process sharding at :111,
+        # cbir_eval.py at :186); this call exists for the rationale + the
+        # primary-only log line, not as a runtime guard.
         self.mesh.check_replicated_eval(shuffle=False, process_sharded=False,
                                         logger=self.logger)
         val_aug = create_aug_transforms(self.data_cfg["val"]["augment"])

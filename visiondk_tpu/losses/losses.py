@@ -40,8 +40,15 @@ def softmax_cross_entropy(
     targets: Array,
     label_smooth: float = 0.0,
     sample_weight: Optional[Array] = None,
+    valid_class: Optional[int] = None,
 ) -> Array:
-    """CE with label smoothing. ``targets`` is int [B] or soft [B, C]."""
+    """CE with label smoothing. ``targets`` is int [B] or soft [B, C].
+
+    ``valid_class``: number of REAL classes when the logit width is padded
+    (margin heads pad the class dim for partial-FC sharding and mask pad
+    columns to −1e9, models/heads.py). Smoothing mass must be spread over the
+    real classes only — ls/C weight on a −1e9 column would add ~ls/C·1e9 to
+    every sample's loss."""
     logits = logits.astype(jnp.float32)
     num_class = logits.shape[-1]
     if targets.ndim == logits.ndim - 1:
@@ -49,7 +56,11 @@ def softmax_cross_entropy(
     else:
         q = targets.astype(jnp.float32)
     if label_smooth > 0.0:
-        q = (1.0 - label_smooth) * q + label_smooth / num_class
+        if valid_class is not None and valid_class < num_class:
+            real = (jnp.arange(num_class) < valid_class).astype(jnp.float32)
+            q = (1.0 - label_smooth) * q + (label_smooth / valid_class) * real
+        else:
+            q = (1.0 - label_smooth) * q + label_smooth / num_class
     logp = jax.nn.log_softmax(logits, axis=-1)
     per_sample = -jnp.sum(q * logp, axis=-1)
     return _weighted_mean(per_sample, sample_weight)
@@ -102,9 +113,11 @@ def distill_kl(student_logits: Array, teacher_logits: Array, temperature: float 
 
 
 @LOSS.register(name="ce")
-def cross_entropy(label_smooth: float = 0.0) -> Callable:
+def cross_entropy(label_smooth: float = 0.0, valid_class: Optional[int] = None) -> Callable:
     def fn(logits, targets, sample_weight=None):
-        return softmax_cross_entropy(logits, targets, label_smooth, sample_weight)
+        return softmax_cross_entropy(
+            logits, targets, label_smooth, sample_weight, valid_class
+        )
 
     return fn
 

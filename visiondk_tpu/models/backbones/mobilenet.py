@@ -187,5 +187,8 @@ def _mnv3(blocks, last_exp, **defaults):
 
 
 BACKBONES.register(_mnv3(_V3_LARGE, 960), name="mobilenetv3_large_100")
-BACKBONES.register(_mnv3(_V3_SMALL, 576), name="mobilenetv3_small_100")
+# small's conv_head is 576→1024 (MobileNetV3 paper Table 2 / timm head_chs),
+# NOT large's 1280 — a 1280 head silently fails pretrained import (non-strict
+# merge skips the mismatched pre_head/fc and leaves them at random init)
+BACKBONES.register(_mnv3(_V3_SMALL, 576, head_width=1024), name="mobilenetv3_small_100")
 BACKBONES.register(_mnv3(_V3_LARGE, 960, width_mult=0.75), name="mobilenetv3_large_075")

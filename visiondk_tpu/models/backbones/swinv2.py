@@ -127,7 +127,8 @@ class WindowAttentionV2(nn.Module):
             and (jax.default_backend() == "tpu" or interpret_forced())
             # VMEM-feasible plan (wide shapes fall back instead of dying in
             # Mosaic allocation — ops/pallas/window_attention.plan_fits)
-            and window_plan_fits(B, H, W, 3 * C, ws, h)
+            and window_plan_fits(B, H, W, 3 * C, ws, h,
+                                 elt_bytes=jnp.dtype(self.dtype).itemsize)
         )
         mesh = None
         if fused_ok and jax.device_count() > 1:

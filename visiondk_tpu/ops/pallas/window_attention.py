@@ -93,17 +93,19 @@ def _pick_pair(nW: int) -> int:
 
 def _cell_resident_bytes(
     RB: int, RH: int, ws: int, W: int, nW: int, c3: int,
-    p_bytes_per_window: int, P: int = 1,
+    p_bytes_per_window: int, P: int = 1, elt_bytes: int = 2,
 ) -> int:
     """Upper-bound VMEM footprint of one grid cell: the x/do and o/dqkv
     blocks, the f32 gathered-window temporaries, one head's [R,N,N] score/p
     working set, and the optional p-cache block. Conservative — Mosaic may
     fuse some temporaries away — but it catches the shapes that would
-    otherwise fail at compile time (wide W or nW ≫ the windows target)."""
+    otherwise fail at compile time (wide W or nW ≫ the windows target).
+    ``elt_bytes`` is the compute dtype's size (bf16→2, f32→4) — the x/o
+    blocks and p-cache live in that dtype."""
     c = c3 // 3
     N = ws * ws
     R = RB * RH * nW
-    x_blocks = RB * RH * ws * W * (c3 + c) * 2  # in + out (compute dtype ≤ f32→4; bf16→2)
+    x_blocks = RB * RH * ws * W * (c3 + c) * elt_bytes  # in + out blocks
     gathered = R * N * (c3 + c) * 4  # xw + dow f32 relayouts
     scores = R * P * N * N * 4 * 2  # one head's p + ds ([R/P, PN, PN] paired)
     p_cache = RB * RH * nW * p_bytes_per_window
@@ -112,7 +114,7 @@ def _cell_resident_bytes(
 
 def _plan(
     B: int, nH: int, nW: int, ws: int, W: int, c3: int, budget: int,
-    p_bytes_per_window: int = 0, P: int = 1,
+    p_bytes_per_window: int = 0, P: int = 1, elt_bytes: int = 2,
 ) -> Tuple[int, int]:
     """Pick (batch rows RB, window rows RH) per grid cell: enough windows to
     amortize per-cell overhead, x-block (+ optional p-cache block) under
@@ -131,36 +133,44 @@ def _plan(
             RH = cand
             break
     # shrink RH (not just RB) when even a single batch row oversubscribes VMEM
-    while RH > 1 and _cell_resident_bytes(1, RH, ws, W, nW, c3, p_bytes_per_window, P) > hard_cap:
+    while RH > 1 and _cell_resident_bytes(1, RH, ws, W, nW, c3, p_bytes_per_window, P, elt_bytes) > hard_cap:
         RH = next(c for c in range(RH - 1, 0, -1) if nH % c == 0)
     RB = 1
-    per_b = RH * ws * W * c3 * 2 + RH * nW * p_bytes_per_window
+    per_b = RH * ws * W * c3 * elt_bytes + RH * nW * p_bytes_per_window
     for cand in range(B, 0, -1):
         if (
             B % cand == 0
             and cand * RH * nW <= target
             and cand * per_b <= budget
-            and _cell_resident_bytes(cand, RH, ws, W, nW, c3, p_bytes_per_window, P) <= hard_cap
+            and _cell_resident_bytes(cand, RH, ws, W, nW, c3, p_bytes_per_window, P, elt_bytes) <= hard_cap
         ):
             RB = cand
             break
     return RB, RH
 
 
-def plan_fits(B: int, H: int, W: int, c3: int, ws: int, heads: int) -> bool:
+def plan_fits(
+    B: int, H: int, W: int, c3: int, ws: int, heads: int, elt_bytes: int = 2
+) -> bool:
     """True when the fused kernel has a VMEM-feasible plan for this shape.
     Callers (models/backbones/swin*.py) gate the fused path on this and fall
     back to XLA windows otherwise — a shape whose single window-row block
-    already oversubscribes VMEM would die in Mosaic allocation."""
+    already oversubscribes VMEM would die in Mosaic allocation. Pass
+    ``elt_bytes=4`` for f32 models (blocks + p-cache live in the compute
+    dtype; assuming bf16 would halve the estimate and re-create the compile
+    failure this guard exists to prevent)."""
     import os
 
     hard_cap = int(os.environ.get("VDK_WATTN_VMEM_CAP", str(6 * 1024 * 1024)))
     nH, nW = H // ws, W // ws
     N = ws * ws
     P = _pick_pair(nW)
-    p_bytes = heads * N * N * 2 * P  # fwd p-cache block per window (bf16, paired)
-    _, RH = _plan(B, nH, nW, ws, W, c3, budget=2_500_000, p_bytes_per_window=p_bytes, P=P)
-    return _cell_resident_bytes(1, RH, ws, W, nW, c3, p_bytes, P) <= hard_cap
+    p_bytes = heads * N * N * elt_bytes * P  # fwd p-cache block per window
+    _, RH = _plan(
+        B, nH, nW, ws, W, c3, budget=2_500_000,
+        p_bytes_per_window=p_bytes, P=P, elt_bytes=elt_bytes,
+    )
+    return _cell_resident_bytes(1, RH, ws, W, nW, c3, p_bytes, P, elt_bytes) <= hard_cap
 
 
 def _gather_windows(x: Array, RB: int, RH: int, nW: int, ws: int, c: int) -> Array:
@@ -442,7 +452,8 @@ def _wattn_fwd(qkv, bias, ids, heads, scale=None):
     B, H, W, c3, c, head_dim, N, ws, nH, nW = _common(qkv, bias, heads)
     masked = ids is not None
     P = _pick_pair(nW)
-    RB, RH = _plan(B, nH, nW, ws, W, c3, budget=2_500_000, P=P)
+    eb = jnp.dtype(qkv.dtype).itemsize
+    RB, RH = _plan(B, nH, nW, ws, W, c3, budget=2_500_000, P=P, elt_bytes=eb)
     in_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked, P)
     kern = functools.partial(
         _wattn_fwd_kernel,
@@ -491,9 +502,10 @@ def _wattn_vjp_fwd(qkv, bias, ids, heads, scale):
     B, H, W, c3, c, head_dim, N, ws, nH, nW = _common(qkv, bias, heads)
     masked = ids is not None
     P = _pick_pair(nW)
+    eb = jnp.dtype(qkv.dtype).itemsize
     RB, RH = _plan(
         B, nH, nW, ws, W, c3, budget=2_500_000,
-        p_bytes_per_window=heads * N * N * 2 * P, P=P,
+        p_bytes_per_window=heads * N * N * eb * P, P=P, elt_bytes=eb,
     )
     in_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked, P)
     kern = functools.partial(
@@ -537,8 +549,9 @@ def _wattn_vjp_bwd(heads, scale, res, g):
     dbias_spec = pl.BlockSpec(
         (heads, PN, PN), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM
     )
+    eb = jnp.dtype(qkv.dtype).itemsize
     if p is None:
-        RB, RH = _plan(B, nH, nW, ws, W, c3, budget=1_500_000, P=P)
+        RB, RH = _plan(B, nH, nW, ws, W, c3, budget=1_500_000, P=P, elt_bytes=eb)
         in_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, masked, P)
         kern = functools.partial(
             _wattn_bwd_kernel,
@@ -552,7 +565,7 @@ def _wattn_vjp_bwd(heads, scale, res, g):
     else:
         RB, RH = _plan(
             B, nH, nW, ws, W, c3, budget=1_500_000,
-            p_bytes_per_window=heads * N * N * 2 * P, P=P,
+            p_bytes_per_window=heads * N * N * eb * P, P=P, elt_bytes=eb,
         )
         x_specs, o_spec = _specs(B, nH, nW, ws, W, c3, c, heads, N, RB, RH, False, P)
         kern = functools.partial(

@@ -14,9 +14,11 @@ utils/cam.py's activation capture) swaps every 2-D `nn.Dense.__call__` for
     y = (round(x/sx)·int8 @ round(W/sw)·int8) · (sx·sw) + b
 
 with dynamic per-tensor activation scale `sx = absmax(x)/127` and static
-per-output-channel weight scale `sw = absmax(W, axis=0)/127`. Weight
-quantization is traced per call but is loop-invariant under jit — XLA hoists
-it, so served weights are quantized once. Everything else (LayerNorm,
+per-output-channel weight scale `sw = absmax(W, axis=0)/127`. In-graph weight
+quantization is hoisted by XLA only within a single jitted loop (bench.py's
+fori_loop), NOT across the per-batch step calls the CLIs make — serving
+callers therefore pass ``build_weight_cache(params)`` so kernels are
+quantized exactly once up front. Everything else (LayerNorm,
 softmax, the fused Pallas attention core, convs) stays in the model's own
 dtype: accuracy loss is bounded by the Dense layers alone, CI-checked by
 tests/test_quant.py (cosine ≥ 0.995 vs the f32 features on a real ViT).
@@ -48,39 +50,77 @@ def quantize_tensor(x: Array, axis: Optional[int] = None):
     return q, scale
 
 
-def int8_dense(x: Array, kernel: Array, bias: Optional[Array], out_dtype) -> Array:
-    """x [..., K] @ kernel [K, N] in int8 with f32 dequant epilogue."""
+def int8_dense_prequant(
+    x: Array, wq: Array, sw: Array, bias: Optional[Array], out_dtype
+) -> Array:
+    """x [..., K] @ prequantized int8 kernel [K, N] (scale ``sw`` per output
+    channel) with dynamic per-tensor activation quant + f32 dequant epilogue."""
     lead = x.shape[:-1]
     xf = x.reshape(-1, x.shape[-1])
     xq, sx = quantize_tensor(xf)  # per-tensor activation scale
-    wq, sw = quantize_tensor(kernel, axis=1)  # per-output-channel
     acc = jax.lax.dot_general(
         xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
     y = acc.astype(jnp.float32) * (sx * sw.reshape(1, -1))
     if bias is not None:
         y = y + bias.astype(jnp.float32)
-    return y.astype(out_dtype).reshape(*lead, kernel.shape[1])
+    return y.astype(out_dtype).reshape(*lead, wq.shape[1])
 
 
-def _dense_interceptor(next_fun, args, kwargs, context):
-    mod = context.module
-    if type(mod) is not nn.Dense or context.method_name != "__call__":
-        return next_fun(*args, **kwargs)
-    params = mod.variables.get("params", {})
-    kernel = params.get("kernel")
-    if kernel is None or kernel.ndim != 2:
-        return next_fun(*args, **kwargs)
-    (x,) = args
-    bias = params.get("bias") if mod.use_bias else None
-    out_dtype = mod.dtype or x.dtype
-    return int8_dense(x, kernel, bias, out_dtype)
+def int8_dense(x: Array, kernel: Array, bias: Optional[Array], out_dtype) -> Array:
+    """x [..., K] @ kernel [K, N] in int8, quantizing the weight in-graph."""
+    wq, sw = quantize_tensor(kernel, axis=1)  # per-output-channel
+    return int8_dense_prequant(x, wq, sw, bias, out_dtype)
 
 
-def quantized_apply(model, *args, **kwargs):
+def build_weight_cache(params) -> dict:
+    """Quantize every 2-D ``kernel`` leaf of ``params`` ONCE, keyed by the
+    owning module's path ('a/b/c'). Serving callers (validate.py /
+    cbir_eval.py / export.py) pass this to make_eval_step/make_embed_step as
+    ``quant_cache`` so the per-batch step skips the weight absmax/round pass
+    (~1.3 ms/batch on ViT-B — in-graph weight quant is only hoisted inside a
+    single jitted loop like bench.py's, NOT across the CLIs' per-batch step
+    calls). Build it from the SAME tree the step consumes: ``state.ema_params``
+    when use_ema, else ``state.params``. Training-time eval must NOT use a
+    cache (weights change every epoch)."""
+    cache = {}
+
+    def walk(node, path):
+        if hasattr(node, "items"):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif path and path[-1] == "kernel" and getattr(node, "ndim", 0) == 2:
+            cache["/".join(path[:-1])] = quantize_tensor(node, axis=1)
+
+    walk(params, ())
+    return cache
+
+
+def _make_dense_interceptor(weight_cache: Optional[dict] = None):
+    def _dense_interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if type(mod) is not nn.Dense or context.method_name != "__call__":
+            return next_fun(*args, **kwargs)
+        params = mod.variables.get("params", {})
+        kernel = params.get("kernel")
+        if kernel is None or kernel.ndim != 2:
+            return next_fun(*args, **kwargs)
+        (x,) = args
+        bias = params.get("bias") if mod.use_bias else None
+        out_dtype = mod.dtype or x.dtype
+        ent = weight_cache.get("/".join(mod.path)) if weight_cache else None
+        if ent is not None:
+            return int8_dense_prequant(x, ent[0], ent[1], bias, out_dtype)
+        return int8_dense(x, kernel, bias, out_dtype)
+
+    return _dense_interceptor
+
+
+def quantized_apply(model, *args, weight_cache: Optional[dict] = None, **kwargs):
     """`model.apply` with every 2-D nn.Dense computed in int8 (see module
-    docstring). Drop-in: quantized_apply(model, variables, x, ...)."""
-    with nn.intercept_methods(_dense_interceptor):
+    docstring). Drop-in: quantized_apply(model, variables, x, ...).
+    ``weight_cache`` (build_weight_cache) skips the in-graph weight quant."""
+    with nn.intercept_methods(_make_dense_interceptor(weight_cache)):
         return model.apply(*args, **kwargs)
 
 
