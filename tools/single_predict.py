@@ -16,6 +16,8 @@ def parse_opt():
     p.add_argument("--cfgs", required=True, type=str, help="run config yaml")
     p.add_argument("--weight", required=True, type=str, help="checkpoint dir")
     p.add_argument("--ema", action="store_true")
+    p.add_argument("--quant", type=str, default=None, choices=["int8"],
+                   help="int8 dense inference (ops/quant.py)")
     return p.parse_args()
 
 
@@ -41,10 +43,17 @@ def main(opt):
     transforms = create_aug_transforms(cp.data_cfg["val"]["augment"])
     x = np.asarray(transforms(read_image(opt.img)))[None]
 
+    qcache = None
+    if opt.quant == "int8":
+        from visiondk_tpu.ops.quant import build_weight_cache
+
+        qcache = build_weight_cache(state.ema_params if opt.ema else state.params)
     eval_step = make_eval_step(
         cp.model,
         StepConfig(mean=cp.data_processor.normalization[0], std=cp.data_processor.normalization[1]),
         use_ema=opt.ema,
+        quant=opt.quant,
+        quant_cache=qcache,
     )
     logits = np.asarray(eval_step(state, {"image": x}))[0]
     if cp.loss_choice == "bce":

@@ -25,6 +25,8 @@ def parse_opt():
     p.add_argument("--sample", default=0.5, type=float, help="frame retain ratio")
     p.add_argument("--fps", default=25, type=int)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quant", type=str, default=None, choices=["int8"],
+                   help="int8 dense inference (ops/quant.py)")
     return p.parse_args()
 
 
@@ -48,10 +50,17 @@ def main(opt):
     tx = cp._build_tx(steps_per_epoch=1, discrete_per_epoch=True)
     state = cp._init_state(tx, (1, cp.imgsz, cp.imgsz, 3))
     state, _ = CheckpointManager(weight.parent).restore(weight.name, state)
+    qcache = None
+    if opt.quant == "int8":
+        from visiondk_tpu.ops.quant import build_weight_cache
+
+        qcache = build_weight_cache(state.ema_params if opt.ema else state.params)
     eval_step = make_eval_step(
         cp.model,
         StepConfig(mean=cp.data_processor.normalization[0], std=cp.data_processor.normalization[1]),
         use_ema=opt.ema,
+        quant=opt.quant,
+        quant_cache=qcache,
     )
     transforms = create_aug_transforms(cp.data_cfg["val"]["augment"])
     names = cp.data_processor.val_dataset.class_names
