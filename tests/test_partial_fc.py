@@ -210,6 +210,43 @@ def test_padded_head_loss_matches_unpadded(setup_padded):
     )
 
 
+def test_load_from_grafts_unpadded_head_into_padded(setup_padded):
+    """Checkpoints written before unconditional class padding (trainer.py)
+    hold the head weight at the exact class width; load_from must graft those
+    columns into the padded head instead of shape-mismatch-skipping it and
+    silently leaving the margin head at random init."""
+    import jax.numpy as jnp
+
+    from visiondk_tpu.engine.checkpoint import CheckpointManager
+
+    build, batch, num_class = setup_padded
+    s_exact, _ = build(1)   # "old" checkpoint: [16, 67]
+    s_pad, _ = build(8)     # new model: [16, 72]
+
+    merged = CheckpointManager.load_from(s_pad.params, s_exact.params)
+
+    _, w_old = _head_weight_path(s_exact.params)
+    _, w_init = _head_weight_path(s_pad.params)
+    _, w_new = _head_weight_path(merged)
+    np.testing.assert_array_equal(np.asarray(w_new)[:, :num_class], np.asarray(w_old))
+    # pad columns keep their init (logit-masked anyway)
+    np.testing.assert_array_equal(
+        np.asarray(w_new)[:, num_class:], np.asarray(w_init)[:, num_class:]
+    )
+    # every non-head leaf merged exactly
+    import jax
+
+    flat_m = dict(jax.tree_util.tree_flatten_with_path(merged)[0])
+    flat_o = dict(jax.tree_util.tree_flatten_with_path(s_exact.params)[0])
+    checked = 0
+    for path, leaf in flat_m.items():
+        if getattr(path[-1], "key", None) == "weight":
+            continue
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_o[path]))
+        checked += 1
+    assert checked > 10
+
+
 def test_padded_sharded_matches_single(setup_padded, mesh4x2):
     import jax
     import jax.numpy as jnp

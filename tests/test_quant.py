@@ -230,6 +230,16 @@ def test_weight_cache_matches_in_graph_quant():
     cached = quantized_apply(model, variables, x, train=False, weight_cache=cache)
     np.testing.assert_array_equal(np.asarray(dynamic), np.asarray(cached))
 
+    # a provided cache is a contract: missing keys and wrong-tree shapes must
+    # fail loudly, not silently re-quantize or serve wrong numbers
+    incomplete = dict(list(cache.items())[:1])
+    with pytest.raises(KeyError):
+        quantized_apply(model, variables, x, train=False, weight_cache=incomplete)
+    other = BACKBONES.create("vit_small_patch16_224", num_classes=13)
+    ov = other.init({"params": jax.random.key(1)}, x, train=False)
+    with pytest.raises(ValueError):
+        quantized_apply(other, ov, x, train=False, weight_cache=cache)
+
 
 def test_check_quant_rejects_unknown():
     from visiondk_tpu.ops.quant import check_quant

@@ -123,6 +123,13 @@ class SmartDataProcessor:
             return None
 
         class _LabeledAdapter:
+            # replication contract (MeshContext.check_replicated_eval reads
+            # these off the actual loader): the native eval path is always
+            # deterministic, full-set, and unsharded — if it ever gains
+            # process sharding these must reflect it
+            shuffle = False
+            process_count = 1
+
             def __len__(self):
                 return len(inner)
 

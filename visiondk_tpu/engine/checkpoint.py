@@ -94,6 +94,19 @@ class CheckpointManager:
             if path in flat_l and flat_l[path].shape == leaf.shape:
                 new_flat[path] = jax.numpy.asarray(flat_l[path], leaf.dtype)
                 loaded.append(path)
+            elif (
+                path in flat_l
+                and getattr(path[-1], "key", None) == "weight"
+                and flat_l[path].ndim == leaf.ndim == 2
+                and flat_l[path].shape[0] == leaf.shape[0]
+                and flat_l[path].shape[1] < leaf.shape[1]
+            ):
+                # class-dim-padded margin head (heads.MarginHead pads columns
+                # to lcm(128, n_model)): graft an UNPADDED checkpoint's real
+                # columns; pad columns keep their init (they're logit-masked)
+                src = jax.numpy.asarray(flat_l[path], leaf.dtype)
+                new_flat[path] = leaf.at[:, : src.shape[1]].set(src)
+                loaded.append(path)
             else:
                 new_flat[path] = leaf
                 (mismatched if path in flat_l else missing).append(path)

@@ -306,9 +306,12 @@ class CenterProcessor:
         # set, primary-only artifacts) — checked against the loader actually
         # built, not against assumed literals
         val_loader = dp.dataloader("val", data_cfg["val"]["bs"])
+        # both loader types declare these (data/loader.py DataLoader,
+        # dataprocessor._LabeledAdapter) — no permissive getattr defaults, a
+        # loader without the attributes is a bug the AttributeError surfaces
         self.mesh.check_replicated_eval(
-            shuffle=bool(getattr(val_loader, "shuffle", False)),
-            process_sharded=int(getattr(val_loader, "process_count", 1)) > 1,
+            shuffle=bool(val_loader.shuffle),
+            process_sharded=int(val_loader.process_count) > 1,
             logger=logger,
         )
         steps_per_epoch = max(len(train_loader), 1)

@@ -118,7 +118,8 @@ def _plan(
 ) -> Tuple[int, int]:
     """Pick (batch rows RB, window rows RH) per grid cell: enough windows to
     amortize per-cell overhead, x-block (+ optional p-cache block) under
-    ``budget`` bytes (bf16). A hard cap on the FULL resident footprint
+    ``budget`` bytes in the compute dtype (``elt_bytes``: bf16→2, f32→4).
+    A hard cap on the FULL resident footprint
     (x/o blocks + f32 gathered temporaries + score working set) additionally
     shrinks RH for wide stages — the budget alone only bounds the x block, so
     a large-W or many-window shape could otherwise pass planning and die in

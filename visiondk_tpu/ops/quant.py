@@ -84,15 +84,10 @@ def build_weight_cache(params) -> dict:
     when use_ema, else ``state.params``. Training-time eval must NOT use a
     cache (weights change every epoch)."""
     cache = {}
-
-    def walk(node, path):
-        if hasattr(node, "items"):
-            for k, v in node.items():
-                walk(v, path + (k,))
-        elif path and path[-1] == "kernel" and getattr(node, "ndim", 0) == 2:
-            cache["/".join(path[:-1])] = quantize_tensor(node, axis=1)
-
-    walk(params, ())
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = [getattr(k, "key", None) for k in path]
+        if keys and keys[-1] == "kernel" and getattr(leaf, "ndim", 0) == 2:
+            cache["/".join(keys[:-1])] = quantize_tensor(leaf, axis=1)
     return cache
 
 
@@ -108,8 +103,24 @@ def _make_dense_interceptor(weight_cache: Optional[dict] = None):
         (x,) = args
         bias = params.get("bias") if mod.use_bias else None
         out_dtype = mod.dtype or x.dtype
-        ent = weight_cache.get("/".join(mod.path)) if weight_cache else None
-        if ent is not None:
+        if weight_cache is not None:
+            # a provided cache is a contract, not a hint: a missing key or a
+            # shape mismatch means it was built from the wrong tree (e.g. raw
+            # params for a use_ema step) — fail loudly instead of silently
+            # serving wrong numbers or quietly re-quantizing per batch
+            ent = weight_cache.get("/".join(mod.path))
+            if ent is None:
+                raise KeyError(
+                    f"int8 weight cache has no entry for Dense {'/'.join(mod.path)!r}; "
+                    "build_weight_cache must run over the param tree the step "
+                    "consumes (ema_params when use_ema)"
+                )
+            if ent[0].shape != kernel.shape:
+                raise ValueError(
+                    f"int8 weight cache entry {'/'.join(mod.path)!r} has shape "
+                    f"{ent[0].shape}, model kernel is {kernel.shape}: cache built "
+                    "from a different model/tree"
+                )
             return int8_dense_prequant(x, ent[0], ent[1], bias, out_dtype)
         return int8_dense(x, kernel, bias, out_dtype)
 
