@@ -187,3 +187,69 @@ def test_bn_freeze_keeps_running_stats():
     after = jax.tree_util.tree_leaves(new_state.get("batch_stats", {}))
     delta = sum(float(jnp.abs(a - b).sum()) for a, b in zip(before, after)) if after else 0.0
     assert delta == 0.0
+
+
+def test_gradient_accumulation_matches_full_batch():
+    """hyp.accumulate (optax.MultiSteps in trainer._build_tx): k mini-batch
+    grads averaged per applied update == one full-batch step (CE mean over
+    equal halves is linear; BN-free model so no stat divergence)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from visiondk_tpu.engine.state import create_train_state
+    from visiondk_tpu.engine.steps import StepConfig, make_train_step
+    from visiondk_tpu.losses import create_lossfn
+    from visiondk_tpu.models.backbones import BACKBONES
+
+    model = BACKBONES.create("vit_small_patch16_224", num_classes=5)
+    rng = jax.random.key(0)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, x, train=False)
+
+    data = np.random.default_rng(1)
+    images = jnp.asarray(data.integers(0, 255, (8, 32, 32, 3)).astype(np.uint8))
+    labels = jnp.asarray(data.integers(0, 5, (8,)).astype(np.int32))
+    lossfn = create_lossfn("ce")
+    cfg = StepConfig()
+    lam = jnp.float32(0.0)
+
+    tx_full = optax.sgd(0.1, momentum=0.9)
+    s_full = create_train_state(variables, tx_full)
+    step_full = make_train_step(model, tx_full, lossfn, cfg, jax.random.key(2), donate=False)
+    s_full, _ = step_full(s_full, {"image": images, "label": labels}, lam)
+
+    tx_acc = optax.MultiSteps(optax.sgd(0.1, momentum=0.9), every_k_schedule=2)
+    s_acc = create_train_state(variables, tx_acc)
+    step_acc = make_train_step(model, tx_acc, lossfn, cfg, jax.random.key(2), donate=False)
+    s_acc, _ = step_acc(s_acc, {"image": images[:4], "label": labels[:4]}, lam)
+    mid = jax.tree_util.tree_leaves(s_acc.params)
+    base = jax.tree_util.tree_leaves(variables["params"])
+    # first mini-step: grads buffered, params untouched
+    assert all(np.array_equal(a, b) for a, b in zip(mid, base))
+    s_acc, _ = step_acc(s_acc, {"image": images[4:], "label": labels[4:]}, lam)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_acc.params),
+                    jax.tree_util.tree_leaves(s_full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_accumulate_config_validation():
+    import pytest as _pytest
+
+    from visiondk_tpu.config.checks import check_cfgs_common
+
+    base = {
+        "hyp": {
+            "loss": {"ce": True},
+            "optimizer": ["sgd", False],
+            "scheduler": "cosine_with_warm",
+            "warm_ep": 1,
+            "epochs": 5,
+            "accumulate": 0,
+        },
+        "data": {"train": {"augment": []}, "val": {"augment": []}},
+        "model": {"name": "resnet18", "image_size": 32, "num_classes": 2},
+    }
+    with _pytest.raises(AssertionError, match="accumulate"):
+        check_cfgs_common(base)

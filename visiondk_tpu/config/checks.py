@@ -70,6 +70,13 @@ def check_cfgs_common(cfgs: Dict[str, Any]) -> None:
     opt = hyp["optimizer"][0] if isinstance(hyp["optimizer"], (list, tuple)) else hyp["optimizer"]
     assert opt in VALID_OPTIMIZERS, f"Invalid optimizer {opt!r}; choose from {sorted(VALID_OPTIMIZERS)}"
 
+    accum = hyp.get("accumulate", 1)
+    accum = 1 if accum is None else accum
+    assert isinstance(accum, int) and not isinstance(accum, bool) and accum >= 1, (
+        f"hyp.accumulate must be a positive integer (got {accum!r}); it is the "
+        "number of mini-batch gradients averaged per optimizer update"
+    )
+
     assert hyp["scheduler"] in VALID_SCHEDULERS, (
         f"Invalid scheduler {hyp['scheduler']!r}; supported: {sorted(VALID_SCHEDULERS)}"
     )

@@ -203,6 +203,14 @@ class CenterProcessor:
 
     def _build_tx(self, steps_per_epoch: int, discrete_per_epoch: bool):
         hyp = self.hyp_cfg
+        # gradient accumulation (hyp.accumulate: k, beyond reference): optax
+        # MultiSteps averages k mini-batch grads before one applied update.
+        # The inner optimizer's count advances once per APPLIED step, so the
+        # per-epoch schedules divide by the applied steps per epoch.
+        accum = hyp.get("accumulate", 1)
+        accum = 1 if accum is None else int(accum)  # validated ≥1 in checks.py
+        if accum > 1:
+            steps_per_epoch = max(1, steps_per_epoch // accum)
         epoch_sched = create_scheduler(
             hyp["scheduler"], hyp["warm_ep"], hyp["epochs"], hyp["lr0"], hyp.get("lrf_ratio")
         )
@@ -218,12 +226,17 @@ class CenterProcessor:
         mom_sched = lambda count: mom_sched_ep(to_epochs(count))
         self._lr_fn = lr_sched  # host-side LR readback for metrics logging
         base = "sgd" if self.opt_name == "sam" else self.opt_name
-        return create_optimizer(
+        tx = create_optimizer(
             base, lr_sched, hyp["weight_decay"], mom_sched,
             layer_wise_lr=self.layer_wise,
             backbone_freeze=bool(self.model_cfg.get("backbone_freeze")),
             bn_freeze_affine=bool(self.model_cfg.get("bn_freeze_affine")),
         )
+        if accum > 1:
+            import optax
+
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        return tx
 
     def _get_train_step(self, tx, key, lossfn, mixup: bool) -> Callable:
         if key not in self._step_cache:
