@@ -167,7 +167,7 @@ class SmartDataProcessor:
             native = self._native_val_loader(batch_size)
             if native is not None:
                 return native
-        return DataLoader(
+        loader = DataLoader(
             self.train_dataset if train else self.val_dataset,
             batch_size=batch_size,
             shuffle=train,
@@ -177,3 +177,14 @@ class SmartDataProcessor:
             process_index=process_index,
             process_count=process_count,
         )
+        if train and len(loader) == 0:
+            # drop_last + a dataset smaller than one global batch would
+            # otherwise "train" for zero steps per epoch and still save
+            # checkpoints — fail loudly instead.
+            raise ValueError(
+                f"train dataloader is empty: {len(self.train_dataset)} samples "
+                f"yield 0 complete batches at data.train.bs={batch_size} "
+                f"(drop_last, {process_count} process(es)). Lower data.train.bs "
+                f"or add data."
+            )
+        return loader

@@ -9,8 +9,13 @@ Parity with the reference's two formats (SURVEY §5.4):
   (vision_engine.py:300-310).
 
 TPU-native: Orbax PyTree checkpointing of the whole TrainState + host
-metadata; saves are async-capable and restore reconstructs exact pytree
-structure from a template state.
+metadata. Saves are ASYNC by default: the device→host fetch is synchronous
+(it must be — the arrays are needed consistent), but serialization to disk
+happens on a background thread while training continues; Orbax's
+tmp-dir + atomic-rename commit means a crash mid-save never leaves a
+half-written checkpoint looking valid. ``wait()`` (called automatically
+before any restore and by the trainer at run end) joins the in-flight save.
+Restore reconstructs the exact pytree structure from a template state.
 """
 
 from __future__ import annotations
@@ -31,10 +36,19 @@ def _to_host(tree):
 
 
 class CheckpointManager:
-    def __init__(self, directory):
+    def __init__(self, directory, async_save: bool = True):
         self.directory = Path(directory).resolve()
         self.directory.mkdir(parents=True, exist_ok=True)
-        self._ckptr = ocp.PyTreeCheckpointer()
+        if async_save:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        else:
+            self._ckptr = ocp.PyTreeCheckpointer()
+
+    def wait(self) -> None:
+        """Join any in-flight async save (no-op for the sync checkpointer)."""
+        fn = getattr(self._ckptr, "wait_until_finished", None)
+        if fn is not None:
+            fn()
 
     # ------------------------------------------------------------ full state
 
@@ -47,18 +61,29 @@ class CheckpointManager:
         extra: Optional[Dict[str, Any]] = None,
     ) -> None:
         path = self.directory / name
+        # AsyncCheckpointer.save returns once the host copy is snapshotted
+        # (and itself joins any previous in-flight save); the disk write
+        # overlaps the next epoch's compute.
         self._ckptr.save(path, _to_host(state), force=True)
         meta = {"epoch": epoch, "best_fitness": float(best_fitness)}
         if extra:
             meta.update(extra)
-        with open(path / "meta.json", "w") as f:
+        # Sidecar, NOT inside `path`: the checkpoint dir only appears on
+        # Orbax's atomic commit, which may be in flight at this point.
+        with open(self.directory / f"{name}.meta.json", "w") as f:
             json.dump(meta, f)
 
+    def _read_meta(self, name: str) -> Dict[str, Any]:
+        sidecar = self.directory / f"{name}.meta.json"
+        legacy = self.directory / name / "meta.json"   # pre-async layout
+        with open(sidecar if sidecar.exists() else legacy) as f:
+            return json.load(f)
+
     def restore(self, name: str, template: TrainState) -> Tuple[TrainState, Dict[str, Any]]:
+        self.wait()
         path = self.directory / name
         restored = self._ckptr.restore(path, item=_to_host(template))
-        with open(path / "meta.json") as f:
-            meta = json.load(f)
+        meta = self._read_meta(name)
         state = jax.tree_util.tree_map(lambda t, r: jax.numpy.asarray(r), template, restored)
         return state, meta
 
@@ -66,6 +91,7 @@ class CheckpointManager:
         """Restore only the keys present in ``template`` (e.g. params/ema
         without the optimizer state — the teacher-loading path, where the
         saving run's optimizer is unknown)."""
+        self.wait()
         path = self.directory / name
         restored = self._ckptr.restore(
             path,
@@ -76,6 +102,7 @@ class CheckpointManager:
         )
 
     def exists(self, name: str) -> bool:
+        self.wait()
         return (self.directory / name).exists()
 
     # ------------------------------------------------------------ fine-tune

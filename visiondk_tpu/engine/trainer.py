@@ -446,6 +446,7 @@ class CenterProcessor:
                     best_fitness = fitness
                     self.ckpt.save("best", state, epoch, best_fitness)
 
+        self.ckpt.wait()  # join any in-flight async save before reporting done
         if primary:
             hours = (time.time() - t0) / 3600
             logger.both(
@@ -560,6 +561,7 @@ class CenterProcessor:
                     self.ckpt.save("last", state, epoch, best_fitness)
                 else:
                     best_fitness = max(best_fitness, fitness)
+        self.ckpt.wait()  # join any in-flight async save before reporting done
         return fitness_metrics
 
     def _eval_embedding(self, embed_step, state) -> Dict[str, Any]:
