@@ -1,10 +1,14 @@
 """Async checkpointing (engine/checkpoint.py).
 
-Saves overlap training on a background thread (Orbax AsyncCheckpointer);
-these tests pin the consistency contract: a save followed immediately by a
-restore (same or fresh manager) sees the committed data, repeated saves to
-the same name overwrite cleanly, and the pre-async on-disk layout
-(meta.json inside the checkpoint dir) still restores.
+Saves overlap training on a background thread (Orbax AsyncCheckpointer) but
+go through a hidden staging dir so an async OVERWRITE never has a window
+with no committed checkpoint on disk (Orbax's own force=True rmtree's the
+old dir in the blocking phase). These tests pin:
+- save→restore consistency (same manager, overwrite-in-flight, fresh manager)
+- promoted checkpoint dirs are SELF-CONTAINED (meta.json travels with them)
+- construction-time crash recovery for every interruption point: committed
+  staging not yet promoted, promote killed between its renames, half-written
+  Orbax tmp dirs.
 """
 
 import json
@@ -54,6 +58,21 @@ def test_async_overwrite_same_name(tmp_path):
     np.testing.assert_array_equal(_kernel(restored), np.full((8, 4), 2.0, np.float32))
 
 
+def test_overwrite_never_leaves_a_missing_checkpoint(tmp_path):
+    # The whole point of staging: once "last" exists, every instant of a
+    # subsequent overwrite leaves a complete committed "last" on disk.
+    mgr = CheckpointManager(tmp_path)
+    mgr.save("last", _tiny_state(1.0), epoch=0, best_fitness=0.1)
+    mgr.wait()
+    assert (tmp_path / "last").exists()
+    mgr.save("last", _tiny_state(2.0), epoch=1, best_fitness=0.2)
+    # in-flight window: the PREVIOUS committed checkpoint must still be there
+    assert (tmp_path / "last").exists()
+    mgr.wait()
+    _, meta = mgr.restore("last", _tiny_state(0.0))
+    assert meta["epoch"] == 1
+
+
 def test_fresh_manager_sees_committed_save(tmp_path):
     # Simulates resume in a new process: a second manager on the same dir.
     # The saving side joins its in-flight write before handoff — exactly what
@@ -68,23 +87,103 @@ def test_fresh_manager_sees_committed_save(tmp_path):
     np.testing.assert_array_equal(_kernel(restored), np.full((8, 4), 3.0, np.float32))
 
 
-def test_legacy_meta_layout_restores(tmp_path):
-    # Pre-async checkpoints kept meta.json INSIDE the checkpoint dir.
-    mgr = CheckpointManager(tmp_path, async_save=False)
-    mgr.save("last", _tiny_state(4.0), epoch=5, best_fitness=0.5)
-    sidecar = tmp_path / "last.meta.json"
-    legacy = tmp_path / "last" / "meta.json"
-    shutil.move(sidecar, legacy)
-    restored, meta = mgr.restore("last", _tiny_state(0.0))
-    assert meta["epoch"] == 5
-    np.testing.assert_array_equal(_kernel(restored), np.full((8, 4), 4.0, np.float32))
-
-
-def test_sidecar_wins_over_stale_legacy(tmp_path):
-    # If both exist (resave over a legacy run dir), the sidecar is current.
+def test_promoted_dir_is_self_contained(tmp_path):
+    # After the join point the checkpoint dir carries its own meta.json —
+    # scp'ing just the dir to another host keeps restore working.
     mgr = CheckpointManager(tmp_path)
-    mgr.save("last", _tiny_state(1.0), epoch=9, best_fitness=0.9)
+    mgr.save("best", _tiny_state(2.5), epoch=4, best_fitness=0.8)
     mgr.wait()
-    (tmp_path / "last" / "meta.json").write_text(json.dumps({"epoch": 0, "best_fitness": 0.0}))
-    _, meta = mgr.restore("last", _tiny_state(0.0))
-    assert meta["epoch"] == 9
+    assert json.loads((tmp_path / "best" / "meta.json").read_text())["epoch"] == 4
+    assert not (tmp_path / "best.meta.json").exists()   # sidecar consumed
+    moved = tmp_path / "elsewhere"
+    moved.mkdir()
+    shutil.copytree(tmp_path / "best", moved / "best")
+    restored, meta = CheckpointManager(moved).restore("best", _tiny_state(0.0))
+    assert meta["epoch"] == 4
+    np.testing.assert_array_equal(_kernel(restored), np.full((8, 4), 2.5, np.float32))
+
+
+def test_copied_dir_without_meta_degrades(tmp_path):
+    # A checkpoint dir stripped of meta (hand-copied) still restores; the
+    # cosmetic fields degrade instead of crashing CLI consumers.
+    mgr = CheckpointManager(tmp_path)
+    mgr.save("best", _tiny_state(1.0), epoch=2, best_fitness=0.5)
+    mgr.wait()
+    (tmp_path / "best" / "meta.json").unlink()
+    restored, meta = mgr.restore("best", _tiny_state(0.0))
+    assert meta["epoch"] == -1
+    np.testing.assert_array_equal(_kernel(restored), np.full((8, 4), 1.0, np.float32))
+
+
+def test_recovery_promotes_committed_staging(tmp_path):
+    # Crash AFTER the background commit but BEFORE promote: a fresh manager
+    # must find the staged data and promote it (meta stamped from sidecar).
+    mgr = CheckpointManager(tmp_path)
+    mgr.save("last", _tiny_state(5.0), epoch=6, best_fitness=0.6)
+    mgr.wait()
+    # reconstruct the pre-promote disk state by hand
+    (tmp_path / "last").rename(tmp_path / ".last.staging")
+    (tmp_path / ".last.staging" / "meta.json").unlink()
+    (tmp_path / "last.meta.json").write_text(json.dumps({"epoch": 6, "best_fitness": 0.6}))
+    mgr2 = CheckpointManager(tmp_path)
+    assert (tmp_path / "last").exists()
+    _, meta = mgr2.restore("last", _tiny_state(0.0))
+    assert meta["epoch"] == 6
+
+
+def test_recovery_restores_trashed_checkpoint(tmp_path):
+    # Crash BETWEEN promote's two renames (old moved to trash, new staging
+    # rename never ran — e.g. power loss at exactly that instant): the
+    # trashed dir is the only complete checkpoint and must come back.
+    mgr = CheckpointManager(tmp_path)
+    mgr.save("last", _tiny_state(7.0), epoch=1, best_fitness=0.1)
+    mgr.wait()
+    (tmp_path / "last").rename(tmp_path / ".last.trash")
+    mgr2 = CheckpointManager(tmp_path)
+    assert (tmp_path / "last").exists()
+    restored, _ = mgr2.restore("last", _tiny_state(0.0))
+    np.testing.assert_array_equal(_kernel(restored), np.full((8, 4), 7.0, np.float32))
+
+
+def test_recovery_drops_halfwritten_tmp(tmp_path):
+    (tmp_path / ".last.staging.orbax-checkpoint-tmp-123").mkdir(parents=True)
+    CheckpointManager(tmp_path)
+    assert not (tmp_path / ".last.staging.orbax-checkpoint-tmp-123").exists()
+
+
+def test_load_from_across_optimizer_shapes(tmp_path):
+    # model.load_from must work when the NEW run's opt_state differs from the
+    # saving run's (e.g. hyp.accumulate wraps it in MultiStepsState): the
+    # trainer restores ONLY ema_params via partial restore.
+    from visiondk_tpu.engine.trainer import CenterProcessor
+
+    src = _tiny_state(6.0)
+    mgr = CheckpointManager(tmp_path)
+    mgr.save("best", src, epoch=0, best_fitness=1.0)
+    mgr.wait()
+
+    tx_acc = optax.MultiSteps(optax.sgd(0.1, momentum=0.9), every_k_schedule=4)
+    dst = create_train_state(
+        {"params": {"dense": {"kernel": jnp.zeros((8, 4), jnp.float32),
+                              "bias": jnp.ones((4,), jnp.float32)}}},
+        tx_acc,
+    )
+
+    cp = object.__new__(CenterProcessor)
+
+    class _Logger:
+        def both(self, *a, **k):
+            pass
+
+    cp.logger = _Logger()
+
+    class _Mesh:
+        def is_primary(self):
+            return True
+
+    cp.mesh = _Mesh()
+    out = cp._apply_load_from(dst, str(tmp_path / "best"))
+    # ema_params of the source (fp32 copies of 6.0) landed in params
+    np.testing.assert_array_equal(_kernel(out), np.full((8, 4), 6.0, np.float32))
+    # the accumulate opt_state shape survived untouched
+    assert hasattr(out.opt_state, "mini_step")

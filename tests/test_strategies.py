@@ -227,10 +227,21 @@ def test_gradient_accumulation_matches_full_batch():
     base = jax.tree_util.tree_leaves(variables["params"])
     # first mini-step: grads buffered, params untouched
     assert all(np.array_equal(a, b) for a, b in zip(mid, base))
+    # EMA must not tick on the buffered mini-step (or its horizon shrinks k×)
+    assert int(s_acc.ema_updates) == 0
+    for a, b in zip(jax.tree_util.tree_leaves(s_acc.ema_params),
+                    jax.tree_util.tree_leaves(variables["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b, dtype=np.float32))
     s_acc, _ = step_acc(s_acc, {"image": images[4:], "label": labels[4:]}, lam)
 
     for a, b in zip(jax.tree_util.tree_leaves(s_acc.params),
                     jax.tree_util.tree_leaves(s_full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+    # ...and after the applied update the EMA matches the full-batch run's
+    # exactly (same count, same decay, same params)
+    assert int(s_acc.ema_updates) == int(s_full.ema_updates) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(s_acc.ema_params),
+                    jax.tree_util.tree_leaves(s_full.ema_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
@@ -251,5 +262,39 @@ def test_accumulate_config_validation():
         "data": {"train": {"augment": []}, "val": {"augment": []}},
         "model": {"name": "resnet18", "image_size": 32, "num_classes": 2},
     }
-    with _pytest.raises(AssertionError, match="accumulate"):
+    with _pytest.raises(ValueError, match="accumulate"):
         check_cfgs_common(base)
+
+
+def test_accumulate_schedule_calibration():
+    """With hyp.accumulate=k the LR schedule runs on APPLIED updates
+    (fractional steps_per_epoch/k — no floor), and the logging hook
+    _lr_fn accepts MINI-step counts."""
+    import jax.numpy as jnp
+
+    from visiondk_tpu.engine.schedules import create_scheduler
+    from visiondk_tpu.engine.trainer import CenterProcessor
+
+    cp = object.__new__(CenterProcessor)
+    cp.hyp_cfg = {
+        "scheduler": "cosine_with_warm", "warm_ep": 1, "epochs": 10,
+        "lr0": 1.0, "lrf_ratio": 0.1, "momentum": 0.9,
+        "warmup_momentum": 0.8, "weight_decay": 0.0, "accumulate": 4,
+    }
+    cp.opt_name = "sgd"
+    cp.layer_wise = None
+    cp.model_cfg = {}
+    cp._build_tx(steps_per_epoch=10, discrete_per_epoch=False)
+
+    ref = create_scheduler("cosine_with_warm", 1, 10, 1.0, 0.1)
+    # mini-count 50 = applied 12 = epoch 12/2.5 = 4.8 (spe_applied=10/4=2.5,
+    # NOT floor→2 which would evaluate at epoch 6)
+    np.testing.assert_allclose(
+        float(cp._lr_fn(50)), float(ref(jnp.float32(12 / 2.5))), rtol=1e-6
+    )
+    # flat within one accumulation group (same applied count)
+    assert float(cp._lr_fn(48)) == float(cp._lr_fn(51))
+    # end of training lands exactly at the schedule end, not past it
+    np.testing.assert_allclose(
+        float(cp._lr_fn(100)), float(ref(jnp.float32(10.0))), rtol=1e-6
+    )

@@ -28,6 +28,17 @@ VALID_SCHEDULERS = {"linear", "cosine", "linear_with_warm", "cosine_with_warm"}
 VALID_TASKS = {"classification", "face", "cbir"}
 
 
+def normalize_accumulate(hyp: Dict[str, Any]) -> int:
+    """hyp.accumulate → int ≥ 1 (None/absent → 1). The single normalization
+    used by both eager validation and the trainer, so the accepted-type
+    contract (ints only — see check_cfgs_common) cannot drift."""
+    accum = hyp.get("accumulate", 1)
+    accum = 1 if accum is None else accum
+    if not isinstance(accum, int) or isinstance(accum, bool) or accum < 1:
+        raise ValueError(f"hyp.accumulate must be a positive integer (got {accum!r})")
+    return accum
+
+
 def canonical_model_name(name: str) -> str:
     """Map ``timm-swin_base_patch4_window7_224.ms_in22k_ft_in1k`` → ``swin_base_patch4_window7_224``."""
     if name.startswith("timm-"):
@@ -70,12 +81,7 @@ def check_cfgs_common(cfgs: Dict[str, Any]) -> None:
     opt = hyp["optimizer"][0] if isinstance(hyp["optimizer"], (list, tuple)) else hyp["optimizer"]
     assert opt in VALID_OPTIMIZERS, f"Invalid optimizer {opt!r}; choose from {sorted(VALID_OPTIMIZERS)}"
 
-    accum = hyp.get("accumulate", 1)
-    accum = 1 if accum is None else accum
-    assert isinstance(accum, int) and not isinstance(accum, bool) and accum >= 1, (
-        f"hyp.accumulate must be a positive integer (got {accum!r}); it is the "
-        "number of mini-batch gradients averaged per optimizer update"
-    )
+    normalize_accumulate(hyp)  # raises on non-int/bool/<1
 
     assert hyp["scheduler"] in VALID_SCHEDULERS, (
         f"Invalid scheduler {hyp['scheduler']!r}; supported: {sorted(VALID_SCHEDULERS)}"

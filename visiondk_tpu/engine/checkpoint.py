@@ -9,18 +9,27 @@ Parity with the reference's two formats (SURVEY §5.4):
   (vision_engine.py:300-310).
 
 TPU-native: Orbax PyTree checkpointing of the whole TrainState + host
-metadata. Saves are ASYNC by default: the device→host fetch is synchronous
-(it must be — the arrays are needed consistent), but serialization to disk
-happens on a background thread while training continues; Orbax's
-tmp-dir + atomic-rename commit means a crash mid-save never leaves a
-half-written checkpoint looking valid. ``wait()`` (called automatically
-before any restore and by the trainer at run end) joins the in-flight save.
-Restore reconstructs the exact pytree structure from a template state.
+metadata. Saves are ASYNC by default — the device→host fetch is synchronous
+(the arrays must be snapshotted consistent), then disk serialization runs on
+a background thread while training continues.
+
+Crash-safety contract (why saves go through a STAGING directory): Orbax's
+``save(path, force=True)`` rmtree's an existing ``path`` in its *blocking*
+phase and only renames the replacement in at the *background* commit — for
+an async overwrite of ``last/`` that would leave NO valid checkpoint on disk
+for the whole overlapped window. Instead each save writes to a hidden
+``.{name}.staging`` dir (its own tmp-dir + atomic rename inside Orbax), and
+``_promote`` — run at every join point (``wait()``, before any restore, at
+manager construction for crash recovery) — stamps ``meta.json`` inside and
+swaps it into place with two renames. At every instant either the old or the
+new fully-committed checkpoint exists under a recoverable name, and a
+promoted checkpoint dir is self-contained (meta travels with it).
 """
 
 from __future__ import annotations
 
 import json
+import shutil
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -30,9 +39,22 @@ import orbax.checkpoint as ocp
 
 from visiondk_tpu.engine.state import TrainState
 
+_STAGE = ".{}.staging"
+_TRASH = ".{}.trash"
+
 
 def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _fs_primary() -> bool:
+    """Multihost: only process 0 performs the promote/recovery renames
+    (orbax's commit is already primary-finalized; concurrent renames from
+    every host would race on a shared filesystem). Single-process: True."""
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True
 
 
 class CheckpointManager:
@@ -43,12 +65,73 @@ class CheckpointManager:
             self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
         else:
             self._ckptr = ocp.PyTreeCheckpointer()
+        self._pending: set = set()
+        self._recover_staged()
+
+    # -------------------------------------------------- staging / promotion
+
+    def _stage_path(self, name: str) -> Path:
+        return self.directory / _STAGE.format(name)
+
+    def _recover_staged(self) -> None:
+        """Crash recovery at construction: promote committed-but-unpromoted
+        staging dirs, drop half-written Orbax tmp dirs and leftover trash."""
+        if not _fs_primary():
+            return
+        for pat in ("*.orbax-checkpoint-tmp-*", ".*.orbax-checkpoint-tmp-*"):
+            for p in self.directory.glob(pat):
+                shutil.rmtree(p, ignore_errors=True)
+        for p in self.directory.glob(_TRASH.format("*")):
+            name = p.name[1 : -len(".trash")]
+            if (
+                not (self.directory / name).exists()
+                and not self._stage_path(name).exists()
+            ):
+                # promote died between its two renames with no newer staged
+                # copy left — the trashed dir is the only complete checkpoint
+                p.rename(self.directory / name)
+            else:
+                shutil.rmtree(p, ignore_errors=True)
+        for p in self.directory.glob(_STAGE.format("*")):
+            name = p.name[1 : -len(".staging")]
+            self._promote(name)
+
+    def _promote(self, name: str) -> None:
+        """Move a committed staging dir into place: stamp meta inside (the
+        dir becomes self-contained), rename old→trash, staging→final, drop
+        trash. A crash between any two steps leaves a complete checkpoint
+        under ``name``, ``.{name}.staging``, or ``.{name}.trash`` — all of
+        which construction-time recovery or ``_read_meta`` can reach."""
+        staging = self._stage_path(name)
+        self._pending.discard(name)
+        if not _fs_primary() or not staging.exists():
+            return
+        sidecar = self.directory / f"{name}.meta.json"
+        if sidecar.exists():
+            shutil.copyfile(sidecar, staging / "meta.json")
+        final = self.directory / name
+        trash = self.directory / _TRASH.format(name)
+        shutil.rmtree(trash, ignore_errors=True)
+        try:
+            if final.exists():
+                final.rename(trash)
+            staging.rename(final)
+        except OSError:
+            # another manager on the same run dir promoted concurrently
+            # (e.g. validate.py opened mid-train); their promote committed
+            # the same staged data — nothing left to do
+            return
+        shutil.rmtree(trash, ignore_errors=True)
+        sidecar.unlink(missing_ok=True)
 
     def wait(self) -> None:
-        """Join any in-flight async save (no-op for the sync checkpointer)."""
+        """Join in-flight async saves and promote them into place. Called
+        automatically before any restore and by the trainer at run end."""
         fn = getattr(self._ckptr, "wait_until_finished", None)
         if fn is not None:
             fn()
+        for name in sorted(self._pending):
+            self._promote(name)
 
     # ------------------------------------------------------------ full state
 
@@ -60,23 +143,40 @@ class CheckpointManager:
         best_fitness: float,
         extra: Optional[Dict[str, Any]] = None,
     ) -> None:
-        path = self.directory / name
-        # AsyncCheckpointer.save returns once the host copy is snapshotted
-        # (and itself joins any previous in-flight save); the disk write
-        # overlaps the next epoch's compute.
-        self._ckptr.save(path, _to_host(state), force=True)
         meta = {"epoch": epoch, "best_fitness": float(best_fitness)}
         if extra:
             meta.update(extra)
-        # Sidecar, NOT inside `path`: the checkpoint dir only appears on
-        # Orbax's atomic commit, which may be in flight at this point.
+        if name in self._pending:
+            # previous save of this name still in flight: join + promote so
+            # the staging slot frees up (AsyncCheckpointer would serialize
+            # the writes anyway — this just keeps the promote bookkeeping
+            # one-deep per name)
+            fn = getattr(self._ckptr, "wait_until_finished", None)
+            if fn is not None:
+                fn()
+            self._promote(name)
+        staging = self._stage_path(name)
+        shutil.rmtree(staging, ignore_errors=True)  # stale crash leftover
+        # meta sidecar BEFORE the save: construction-time recovery of a
+        # committed staging dir can then always stamp the right meta in.
         with open(self.directory / f"{name}.meta.json", "w") as f:
             json.dump(meta, f)
+        # AsyncCheckpointer.save returns once the host copy is snapshotted;
+        # the disk write overlaps the next epoch's compute.
+        self._ckptr.save(staging, _to_host(state))
+        self._pending.add(name)
+        if not isinstance(self._ckptr, ocp.AsyncCheckpointer):
+            self._promote(name)  # sync save: committed on return, as before
 
     def _read_meta(self, name: str) -> Dict[str, Any]:
-        sidecar = self.directory / f"{name}.meta.json"
-        legacy = self.directory / name / "meta.json"   # pre-async layout
-        with open(sidecar if sidecar.exists() else legacy) as f:
+        indir = self.directory / name / "meta.json"     # self-contained (promoted)
+        sidecar = self.directory / f"{name}.meta.json"  # in-flight / recovery
+        path = indir if indir.exists() else sidecar
+        if not path.exists():
+            # copied-without-meta dir (e.g. scp'd to a serving host): the CLI
+            # consumers only display these fields — degrade, don't crash
+            return {"epoch": -1, "best_fitness": float("nan")}
+        with open(path) as f:
             return json.load(f)
 
     def restore(self, name: str, template: TrainState) -> Tuple[TrainState, Dict[str, Any]]:
@@ -89,8 +189,8 @@ class CheckpointManager:
 
     def restore_partial(self, name: str, template: Dict[str, Any]) -> Dict[str, Any]:
         """Restore only the keys present in ``template`` (e.g. params/ema
-        without the optimizer state — the teacher-loading path, where the
-        saving run's optimizer is unknown)."""
+        without the optimizer state — the teacher-loading and load_from
+        paths, where the saving run's optimizer is unknown)."""
         self.wait()
         path = self.directory / name
         restored = self._ckptr.restore(

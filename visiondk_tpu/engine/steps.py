@@ -167,12 +167,28 @@ def make_train_step(
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        new_updates = state.ema_updates + 1
-        new_ema_p = update_ema(
-            state.ema_params, new_params, new_updates, cfg.ema_decay, cfg.ema_tau
+        # Gradient accumulation (optax.MultiSteps): params change on only 1 of
+        # every k mini-steps. EMA must tick on APPLIED updates only, or its
+        # effective horizon shrinks k× and the warmup ramp runs k× too fast
+        # versus the equivalent full-batch run. MultiStepsState.mini_step
+        # wraps to 0 exactly when the buffered update was applied.
+        mini_step = getattr(new_opt, "mini_step", None)
+        if mini_step is not None:
+            applied = (mini_step == 0)
+            new_updates = state.ema_updates + applied.astype(jnp.int32)
+            gate = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(applied, n, o), new, old
+            )
+        else:
+            new_updates = state.ema_updates + 1
+            gate = lambda new, old: new
+        new_ema_p = gate(
+            update_ema(state.ema_params, new_params, new_updates, cfg.ema_decay, cfg.ema_tau),
+            state.ema_params,
         )
-        new_ema_bs = update_ema(
-            state.ema_batch_stats, new_bs, new_updates, cfg.ema_decay, cfg.ema_tau
+        new_ema_bs = gate(
+            update_ema(state.ema_batch_stats, new_bs, new_updates, cfg.ema_decay, cfg.ema_tau),
+            state.ema_batch_stats,
         )
 
         new_state = state.replace(

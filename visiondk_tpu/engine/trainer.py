@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from visiondk_tpu.config.checks import normalize_accumulate
 from visiondk_tpu.config.loader import get_imgsz, yaml_dump
 from visiondk_tpu.data.dataprocessor import SmartDataProcessor
 from visiondk_tpu.engine import evaluation as cls_eval
@@ -205,12 +206,13 @@ class CenterProcessor:
         hyp = self.hyp_cfg
         # gradient accumulation (hyp.accumulate: k, beyond reference): optax
         # MultiSteps averages k mini-batch grads before one applied update.
-        # The inner optimizer's count advances once per APPLIED step, so the
-        # per-epoch schedules divide by the applied steps per epoch.
-        accum = hyp.get("accumulate", 1)
-        accum = 1 if accum is None else int(accum)  # validated ≥1 in checks.py
-        if accum > 1:
-            steps_per_epoch = max(1, steps_per_epoch // accum)
+        accum = normalize_accumulate(hyp)
+        # The inner optimizer's count advances once per APPLIED update (1 of
+        # every `accum` mini-steps, buffers rolling across epoch boundaries),
+        # so one schedule-epoch is steps_per_epoch/accum applied counts —
+        # kept FRACTIONAL: flooring would run the schedule up to accum/spe
+        # fast (and spe < accum would collapse to 1).
+        spe_applied = steps_per_epoch / accum
         epoch_sched = create_scheduler(
             hyp["scheduler"], hyp["warm_ep"], hyp["epochs"], hyp["lr0"], hyp.get("lrf_ratio")
         )
@@ -219,12 +221,15 @@ class CenterProcessor:
         )
 
         def to_epochs(count):
-            t = count / steps_per_epoch
+            t = count / spe_applied
             return jnp.floor(t) if discrete_per_epoch else t
 
         lr_sched = lambda count: epoch_sched(to_epochs(count))
         mom_sched = lambda count: mom_sched_ep(to_epochs(count))
-        self._lr_fn = lr_sched  # host-side LR readback for metrics logging
+        # host-side LR readback for metrics logging: call sites pass
+        # MINI-step counts (state.step / loader-step counters); the schedule
+        # runs on applied counts.
+        self._lr_fn = lambda mini_count: lr_sched(mini_count // accum)
         base = "sgd" if self.opt_name == "sam" else self.opt_name
         tx = create_optimizer(
             base, lr_sched, hyp["weight_decay"], mom_sched,
@@ -440,11 +445,16 @@ class CenterProcessor:
                             w.add_scalar(f"Val_{k}", float(val_metrics[k]), epoch)
                     w.flush()
 
-                # -- checkpoints (vision_engine.py:386-403)
-                self.ckpt.save("last", state, epoch, max(best_fitness, fitness))
-                if fitness > best_fitness:
-                    best_fitness = fitness
-                    self.ckpt.save("best", state, epoch, best_fitness)
+            # -- checkpoints (vision_engine.py:386-403). Called by ALL
+            # processes: orbax save() synchronizes globally and each host
+            # writes its own shards (required once the partial-FC head is
+            # 'model'-sharded across hosts); primary-only calls would
+            # deadlock in orbax's save barrier. fitness is identical on
+            # every process (val is replicated), so best/last agree.
+            self.ckpt.save("last", state, epoch, max(best_fitness, fitness))
+            if fitness > best_fitness:
+                best_fitness = fitness
+                self.ckpt.save("best", state, epoch, best_fitness)
 
         self.ckpt.wait()  # join any in-flight async save before reporting done
         if primary:
@@ -551,16 +561,17 @@ class CenterProcessor:
                         for k, v in fitness_metrics.items():
                             self.metrics_writer.add_scalar(f"Val_{k}", float(v), epoch)
                         self.metrics_writer.flush()
-                    self.ckpt.save(
-                        f"Epoch_{epoch + 1}", state, epoch, max(best_fitness, fitness),
-                        extra={"fitness": {k: float(v) for k, v in fitness_metrics.items()}},
-                    )
-                    if fitness > best_fitness:
-                        best_fitness = fitness
-                        self.ckpt.save("best", state, epoch, best_fitness)
-                    self.ckpt.save("last", state, epoch, best_fitness)
-                else:
-                    best_fitness = max(best_fitness, fitness)
+                # saves on ALL processes (orbax save() barriers globally —
+                # see run_classifier's checkpoint note); eval is replicated
+                # so fitness/best agree everywhere
+                self.ckpt.save(
+                    f"Epoch_{epoch + 1}", state, epoch, max(best_fitness, fitness),
+                    extra={"fitness": {k: float(v) for k, v in fitness_metrics.items()}},
+                )
+                if fitness > best_fitness:
+                    best_fitness = fitness
+                    self.ckpt.save("best", state, epoch, best_fitness)
+                self.ckpt.save("last", state, epoch, best_fitness)
         self.ckpt.wait()  # join any in-flight async save before reporting done
         return fitness_metrics
 
@@ -626,9 +637,15 @@ class CenterProcessor:
 
     def _apply_load_from(self, state: TrainState, path: str) -> TrainState:
         tmp_mgr = CheckpointManager(Path(path).parent)
-        loaded, _ = tmp_mgr.restore(Path(path).name, state)
+        # partial restore — ONLY ema_params. A full-state restore would use
+        # this run's opt_state as template, which need not match the saving
+        # run's (e.g. hyp.accumulate wraps it in MultiStepsState); the
+        # fine-tune source's optimizer is irrelevant anyway.
+        restored = tmp_mgr.restore_partial(
+            Path(path).name, {"ema_params": state.ema_params}
+        )
         params = CheckpointManager.load_from(
-            state.params, loaded.ema_params, logger=self.logger, prefix="ema "
+            state.params, restored["ema_params"], logger=self.logger, prefix="ema "
         )
         if self.mesh.is_primary():
             self.logger.both(f"load_from: {path}")
