@@ -281,21 +281,48 @@ def run_pipeline(batch=128, steps=20, warmup=2, workers=8):
     )
 
 
+def _with_retries(fn, attempts=3, delay=30):
+    """The tunneled TPU backend occasionally throws transient HTTP 500 /
+    FailedPrecondition errors (CLAUDE.md); retry before giving up so a
+    single flaky dispatch doesn't zero out a recorded benchmark run."""
+    import sys
+
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — backend error types vary
+            if i == attempts - 1:
+                raise
+            print(
+                f"# transient backend error ({type(e).__name__}); "
+                f"retry {i + 1}/{attempts - 1} in {delay}s",
+                file=sys.stderr,
+            )
+            time.sleep(delay)
+
+
 if __name__ == "__main__":
     import sys
 
     if "--cpu" in sys.argv:
-        import os
+        # env-var override is too late here: sitecustomize already imported
+        # jax with JAX_PLATFORMS=axon (CLAUDE.md); the config route works as
+        # long as no backend has been initialized yet
+        import jax
 
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
         run(batch=8, train_iters=3, embed_iters=3, warmup=1)
     elif "--pipeline" in sys.argv:
-        run_pipeline()
+        _with_retries(run_pipeline)
     elif "--bs256" in sys.argv:
-        run(batch=256)
+        _with_retries(lambda: run(batch=256))
     elif "--embed-int8-swin" in sys.argv:
-        run_embed_quant(backbone="swin_base_patch4_window7_224", label="Swin-B")
+        _with_retries(
+            lambda: run_embed_quant(
+                backbone="swin_base_patch4_window7_224", label="Swin-B"
+            )
+        )
     elif "--embed-int8" in sys.argv:
-        run_embed_quant()
+        _with_retries(run_embed_quant)
     else:
-        run()
+        _with_retries(run)

@@ -105,13 +105,19 @@ def test_promoted_dir_is_self_contained(tmp_path):
 
 def test_copied_dir_without_meta_degrades(tmp_path):
     # A checkpoint dir stripped of meta (hand-copied) still restores; the
-    # cosmetic fields degrade instead of crashing CLI consumers.
+    # cosmetic fields degrade instead of crashing CLI consumers. best_fitness
+    # must degrade to a COMPARABLE value (NaN would make every later
+    # `fitness > best_fitness` False and silently stop 'best' saves) and the
+    # meta must flag itself so resume can warn.
     mgr = CheckpointManager(tmp_path)
     mgr.save("best", _tiny_state(1.0), epoch=2, best_fitness=0.5)
     mgr.wait()
     (tmp_path / "best" / "meta.json").unlink()
     restored, meta = mgr.restore("best", _tiny_state(0.0))
     assert meta["epoch"] == -1
+    assert meta["best_fitness"] == 0.0 and meta["best_fitness"] == meta["best_fitness"]
+    assert meta["meta_missing"] is True
+    assert 0.7 > meta["best_fitness"]  # a real fitness still beats the degrade
     np.testing.assert_array_equal(_kernel(restored), np.full((8, 4), 1.0, np.float32))
 
 
@@ -146,9 +152,28 @@ def test_recovery_restores_trashed_checkpoint(tmp_path):
 
 
 def test_recovery_drops_halfwritten_tmp(tmp_path):
+    # Only a WRITER (the resuming trainer) may clean up crash garbage.
     (tmp_path / ".last.staging.orbax-checkpoint-tmp-123").mkdir(parents=True)
-    CheckpointManager(tmp_path)
+    CheckpointManager(tmp_path, writer=True)
     assert not (tmp_path / ".last.staging.orbax-checkpoint-tmp-123").exists()
+
+
+def test_reader_leaves_inflight_tmp_alone(tmp_path):
+    # A READER opening a possibly-live run dir (validate.py mid-train) must
+    # NOT delete Orbax tmp dirs: one of them may be another process's
+    # in-flight async save, and rmtree'ing it would break that trainer's
+    # background commit and lose its checkpoint.
+    tmp = tmp_path / ".last.staging.orbax-checkpoint-tmp-456"
+    tmp.mkdir(parents=True)
+    (tmp / "partial_data").write_text("in flight")
+    CheckpointManager(tmp_path)  # default: reader
+    assert tmp.exists()
+    # end-to-end: a concurrent writer's save still commits afterwards
+    mgr = CheckpointManager(tmp_path, writer=True)
+    mgr.save("last", _tiny_state(9.0), epoch=0, best_fitness=0.1)
+    mgr.wait()
+    restored, _ = mgr.restore("last", _tiny_state(0.0))
+    np.testing.assert_array_equal(_kernel(restored), np.full((8, 4), 9.0, np.float32))
 
 
 def test_load_from_across_optimizer_shapes(tmp_path):
@@ -170,6 +195,7 @@ def test_load_from_across_optimizer_shapes(tmp_path):
     )
 
     cp = object.__new__(CenterProcessor)
+    cp.task = "classification"
 
     class _Logger:
         def both(self, *a, **k):

@@ -91,6 +91,21 @@ def _resnet18_state_dict(num_classes=5):
     return sd
 
 
+def test_tf_checkpoints_are_refused():
+    # tf_* state_dicts have IDENTICAL keys to the non-tf variants, so a
+    # conversion would "succeed" strict — but the weights assume asymmetric
+    # TF-SAME conv padding our models don't implement (every stride-2 conv
+    # would compute shifted activations). The dispatcher must refuse loudly
+    # instead of importing silently-degraded weights.
+    import pytest
+
+    from visiondk_tpu.models.convert import convert_state_dict
+
+    for arch in ("tf_efficientnetv2_s", "timm-tf_mobilenetv3_large_100"):
+        with pytest.raises(ValueError, match="TF-SAME"):
+            convert_state_dict({}, arch)
+
+
 def test_npz_roundtrip(tmp_path):
     from visiondk_tpu.models.convert import convert_state_dict, load_converted, save_converted
 

@@ -223,7 +223,9 @@ def test_load_from_grafts_unpadded_head_into_padded(setup_padded):
     s_exact, _ = build(1)   # "old" checkpoint: [16, 67]
     s_pad, _ = build(8)     # new model: [16, 72]
 
-    merged = CheckpointManager.load_from(s_pad.params, s_exact.params)
+    merged = CheckpointManager.load_from(
+        s_pad.params, s_exact.params, head_classes=num_class
+    )
 
     _, w_old = _head_weight_path(s_exact.params)
     _, w_init = _head_weight_path(s_pad.params)
@@ -245,6 +247,27 @@ def test_load_from_grafts_unpadded_head_into_padded(setup_padded):
         np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_o[path]))
         checked += 1
     assert checked > 10
+
+
+def test_load_from_refuses_unanchored_head_graft(setup_padded):
+    """The column graft must require the checkpoint's head width to equal the
+    configured num_class exactly — otherwise loading e.g. a 1,000-class head
+    into a misconfigured 58k-class run would 'succeed' with 57k columns at
+    random init. Without head_classes (or with a non-matching one) a narrower
+    weight is a shape mismatch, not a graft."""
+    from visiondk_tpu.engine.checkpoint import CheckpointManager
+
+    build, batch, num_class = setup_padded
+    s_exact, _ = build(1)   # [16, 67]
+    s_pad, _ = build(8)     # [16, 72]
+
+    for head_classes in (None, num_class - 3):
+        merged = CheckpointManager.load_from(
+            s_pad.params, s_exact.params, head_classes=head_classes
+        )
+        _, w_init = _head_weight_path(s_pad.params)
+        _, w_new = _head_weight_path(merged)
+        np.testing.assert_array_equal(np.asarray(w_new), np.asarray(w_init))
 
 
 def test_padded_sharded_matches_single(setup_padded, mesh4x2):

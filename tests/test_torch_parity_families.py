@@ -720,7 +720,7 @@ def test_efficientnetv2_converted_matches_torch_logits():
         stem_ch=8, head_ch=48, num_classes=5,
     )
     variables = model.init({"params": jax.random.key(0)}, jnp.asarray(x), train=False)
-    converted = convert_state_dict(tmodel.state_dict(), "tf_efficientnetv2_l")
+    converted = convert_state_dict(tmodel.state_dict(), "efficientnetv2_l")
 
     n_torch = _n_learned(tmodel.state_dict())
     n_flat = sum(len(v) for v in converted.values())

@@ -58,7 +58,13 @@ def _fs_primary() -> bool:
 
 
 class CheckpointManager:
-    def __init__(self, directory, async_save: bool = True):
+    def __init__(self, directory, async_save: bool = True, writer: bool = False):
+        """``writer``: this manager owns the run directory and may perform
+        destructive crash recovery (deleting half-written Orbax tmp dirs).
+        Readers — validate/export/predict CLIs opening a possibly-live run
+        dir — must leave tmp dirs alone: a concurrently-training process's
+        in-flight async save lives in one, and deleting it would make that
+        trainer's background commit fail and lose its checkpoint."""
         self.directory = Path(directory).resolve()
         self.directory.mkdir(parents=True, exist_ok=True)
         if async_save:
@@ -66,6 +72,7 @@ class CheckpointManager:
         else:
             self._ckptr = ocp.PyTreeCheckpointer()
         self._pending: set = set()
+        self._writer = bool(writer)
         self._recover_staged()
 
     # -------------------------------------------------- staging / promotion
@@ -78,9 +85,12 @@ class CheckpointManager:
         staging dirs, drop half-written Orbax tmp dirs and leftover trash."""
         if not _fs_primary():
             return
-        for pat in ("*.orbax-checkpoint-tmp-*", ".*.orbax-checkpoint-tmp-*"):
-            for p in self.directory.glob(pat):
-                shutil.rmtree(p, ignore_errors=True)
+        if self._writer:
+            # writer-only: a READER constructed mid-train (validate.py etc.)
+            # must not delete the live trainer's in-flight async-save tmp dir
+            for pat in ("*.orbax-checkpoint-tmp-*", ".*.orbax-checkpoint-tmp-*"):
+                for p in self.directory.glob(pat):
+                    shutil.rmtree(p, ignore_errors=True)
         for p in self.directory.glob(_TRASH.format("*")):
             name = p.name[1 : -len(".trash")]
             if (
@@ -156,11 +166,16 @@ class CheckpointManager:
                 fn()
             self._promote(name)
         staging = self._stage_path(name)
-        shutil.rmtree(staging, ignore_errors=True)  # stale crash leftover
-        # meta sidecar BEFORE the save: construction-time recovery of a
-        # committed staging dir can then always stamp the right meta in.
-        with open(self.directory / f"{name}.meta.json", "w") as f:
-            json.dump(meta, f)
+        # Filesystem mutations are PRIMARY-ONLY: save() runs on every process
+        # (orbax's commit barriers require it), but on a shared FS a
+        # non-primary rmtree/sidecar-write is unordered w.r.t. the primary's
+        # promote renames and can destroy the staging dir mid-rename.
+        if _fs_primary():
+            shutil.rmtree(staging, ignore_errors=True)  # stale crash leftover
+            # meta sidecar BEFORE the save: construction-time recovery of a
+            # committed staging dir can then always stamp the right meta in.
+            with open(self.directory / f"{name}.meta.json", "w") as f:
+                json.dump(meta, f)
         # AsyncCheckpointer.save returns once the host copy is snapshotted;
         # the disk write overlaps the next epoch's compute.
         self._ckptr.save(staging, _to_host(state))
@@ -174,8 +189,11 @@ class CheckpointManager:
         path = indir if indir.exists() else sidecar
         if not path.exists():
             # copied-without-meta dir (e.g. scp'd to a serving host): the CLI
-            # consumers only display these fields — degrade, don't crash
-            return {"epoch": -1, "best_fitness": float("nan")}
+            # consumers only display these fields — degrade, don't crash.
+            # best_fitness must stay comparable (NOT NaN: `fitness > nan` is
+            # always False and would silently stop 'best' saves on resume);
+            # "meta_missing" lets the resume path warn loudly.
+            return {"epoch": -1, "best_fitness": 0.0, "meta_missing": True}
         with open(path) as f:
             return json.load(f)
 
@@ -209,10 +227,20 @@ class CheckpointManager:
 
     @staticmethod
     def load_from(
-        params: Any, pretrained_params: Any, logger=None, prefix: str = ""
+        params: Any,
+        pretrained_params: Any,
+        logger=None,
+        prefix: str = "",
+        head_classes: Optional[int] = None,
     ) -> Any:
         """Non-strict merge: copy matching-path/shape leaves from pretrained
-        into params; log missing/unexpected (vision_engine.py:300-310)."""
+        into params; log missing/unexpected (vision_engine.py:300-310).
+
+        ``head_classes``: the margin head's REAL (unpadded) class count.
+        Only a 2-D ``weight`` whose checkpoint has exactly this many columns
+        is grafted into a wider (class-padded) target — without the anchor,
+        any narrower checkpoint (e.g. a 1,000-class head loaded into a
+        misconfigured 58k-class run) would silently 'load'."""
         flat_p = dict(jax.tree_util.tree_flatten_with_path(params)[0])
         flat_l = dict(jax.tree_util.tree_flatten_with_path(pretrained_params)[0])
         loaded, missing, mismatched = [], [], []
@@ -223,10 +251,12 @@ class CheckpointManager:
                 loaded.append(path)
             elif (
                 path in flat_l
+                and head_classes is not None
                 and getattr(path[-1], "key", None) == "weight"
                 and flat_l[path].ndim == leaf.ndim == 2
                 and flat_l[path].shape[0] == leaf.shape[0]
-                and flat_l[path].shape[1] < leaf.shape[1]
+                and flat_l[path].shape[1] == head_classes
+                and leaf.shape[1] > head_classes
             ):
                 # class-dim-padded margin head (heads.MarginHead pads columns
                 # to lcm(128, n_model)): graft an UNPADDED checkpoint's real

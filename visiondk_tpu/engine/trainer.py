@@ -180,7 +180,10 @@ class CenterProcessor:
             self.hyp_cfg["optimizer"], (list, tuple)
         ) and len(self.hyp_cfg["optimizer"]) > 1 else False
 
-        self.ckpt = CheckpointManager(self.project)
+        # writer=train: only the training run owns destructive crash recovery
+        # in its run dir; a train=False construction (validate/predict paths)
+        # must not delete a live trainer's in-flight Orbax tmp dirs
+        self.ckpt = CheckpointManager(self.project, writer=bool(train))
         self._step_cache: Dict[Any, Callable] = {}
         self.metrics_writer = (
             MetricsWriter(self.project) if (train and primary) else None
@@ -353,6 +356,12 @@ class CenterProcessor:
             best_fitness = meta["best_fitness"]
             if primary:
                 logger.both(f"resume: {resume} (epoch {start_epoch})")
+                if meta.get("meta_missing"):
+                    logger.both(
+                        f"WARNING resume: {resume} has no meta.json — epoch and "
+                        "best_fitness are unknown; restarting the schedule at "
+                        "epoch 0 with the restored weights"
+                    )
         elif self.model_cfg.get("load_from"):
             state = self._apply_load_from(state, self.model_cfg["load_from"])
         if not resume and self.model_cfg.get("convert_npz"):
@@ -503,6 +512,12 @@ class CenterProcessor:
             best_fitness = meta.get("best_fitness", 0.0)
             if primary:
                 logger.both(f"resume: {resume} (epoch {start_epoch})")
+                if meta.get("meta_missing"):
+                    logger.both(
+                        f"WARNING resume: {resume} has no meta.json — epoch and "
+                        "best_fitness are unknown; restarting the schedule at "
+                        "epoch 0 with the restored weights"
+                    )
         elif self.model_cfg.get("load_from"):
             state = self._apply_load_from(state, self.model_cfg["load_from"])
         if not resume and self.model_cfg.get("convert_npz"):
@@ -644,8 +659,16 @@ class CenterProcessor:
         restored = tmp_mgr.restore_partial(
             Path(path).name, {"ema_params": state.ema_params}
         )
+        head_classes = None
+        if self.task in ("face", "cbir"):
+            # anchor for the padded-head column graft: only a checkpoint with
+            # exactly this many head columns may load into the padded weight
+            head_classes = int(
+                next(iter(self.model_cfg["head"].values()))["num_class"]
+            )
         params = CheckpointManager.load_from(
-            state.params, restored["ema_params"], logger=self.logger, prefix="ema "
+            state.params, restored["ema_params"], logger=self.logger,
+            prefix="ema ", head_classes=head_classes,
         )
         if self.mesh.is_primary():
             self.logger.both(f"load_from: {path}")

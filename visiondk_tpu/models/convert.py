@@ -14,6 +14,7 @@ semantics (non-strict, shape-checked).
 from __future__ import annotations
 
 import re
+from functools import partial
 from typing import Any, Dict, List, Tuple
 
 import numpy as np
@@ -42,6 +43,27 @@ def _conv1x1_dense(w) -> np.ndarray:
 
 def _put(flat: Dict, tree: str, path: str, value: np.ndarray) -> None:
     flat.setdefault(tree, {})[path] = value
+
+
+# Shared per-module mappers (each converter aliases these via partial so the
+# Dense-transpose / optional-bias / BN-stats logic lives in exactly one place).
+
+def _bn(out, sd, prefix_t: str, prefix_f: str):
+    _put(out, "params", f"{prefix_f}/scale", _t(sd[f"{prefix_t}.weight"]))
+    _put(out, "params", f"{prefix_f}/bias", _t(sd[f"{prefix_t}.bias"]))
+    _put(out, "batch_stats", f"{prefix_f}/mean", _t(sd[f"{prefix_t}.running_mean"]))
+    _put(out, "batch_stats", f"{prefix_f}/var", _t(sd[f"{prefix_t}.running_var"]))
+
+
+def _ln(out, sd, prefix_t: str, prefix_f: str):
+    _put(out, "params", f"{prefix_f}/scale", _t(sd[f"{prefix_t}.weight"]))
+    _put(out, "params", f"{prefix_f}/bias", _t(sd[f"{prefix_t}.bias"]))
+
+
+def _fc(out, sd, prefix_t: str, prefix_f: str):
+    _put(out, "params", f"{prefix_f}/kernel", _dense(sd[f"{prefix_t}.weight"]))
+    if f"{prefix_t}.bias" in sd:
+        _put(out, "params", f"{prefix_f}/bias", _t(sd[f"{prefix_t}.bias"]))
 
 
 # static buffers that carry no learned state (recomputed on our side)
@@ -93,13 +115,7 @@ def convert_resnet(
     ("/"-joined paths under 'params' and 'batch_stats')."""
     out: Dict[str, Dict[str, np.ndarray]] = {"params": {}, "batch_stats": {}}
     sd_track = _SD(state_dict)
-
-    def bn(prefix_t: str, prefix_f: str):
-        sd = sd_track
-        _put(out, "params", f"{prefix_f}/scale", _t(sd[f"{prefix_t}.weight"]))
-        _put(out, "params", f"{prefix_f}/bias", _t(sd[f"{prefix_t}.bias"]))
-        _put(out, "batch_stats", f"{prefix_f}/mean", _t(sd[f"{prefix_t}.running_mean"]))
-        _put(out, "batch_stats", f"{prefix_f}/var", _t(sd[f"{prefix_t}.running_var"]))
+    bn = partial(_bn, out, sd_track)
 
     if "conv1.weight" in state_dict:
         _put(out, "params", "stem_conv/kernel", _conv(sd_track["conv1.weight"]))
@@ -135,14 +151,7 @@ def convert_vit(
     out: Dict[str, Dict[str, np.ndarray]] = {"params": {}, "batch_stats": {}}
     sd = _SD(state_dict)
 
-    def ln(prefix_t: str, prefix_f: str):
-        _put(out, "params", f"{prefix_f}/scale", _t(sd[f"{prefix_t}.weight"]))
-        _put(out, "params", f"{prefix_f}/bias", _t(sd[f"{prefix_t}.bias"]))
-
-    def fc(prefix_t: str, prefix_f: str):
-        _put(out, "params", f"{prefix_f}/kernel", _dense(sd[f"{prefix_t}.weight"]))
-        if f"{prefix_t}.bias" in sd:
-            _put(out, "params", f"{prefix_f}/bias", _t(sd[f"{prefix_t}.bias"]))
+    ln, fc = partial(_ln, out, sd), partial(_fc, out, sd)
 
     if "cls_token" in sd:
         _put(out, "params", "cls_token", _t(sd["cls_token"]))
@@ -221,14 +230,7 @@ def convert_swin(
     out: Dict[str, Dict[str, np.ndarray]] = {"params": {}, "batch_stats": {}}
     sd = _SD(state_dict)
 
-    def ln(t, f):
-        _put(out, "params", f"{f}/scale", _t(sd[f"{t}.weight"]))
-        _put(out, "params", f"{f}/bias", _t(sd[f"{t}.bias"]))
-
-    def fc(t, f):
-        _put(out, "params", f"{f}/kernel", _dense(sd[f"{t}.weight"]))
-        if f"{t}.bias" in sd:
-            _put(out, "params", f"{f}/bias", _t(sd[f"{t}.bias"]))
+    ln, fc = partial(_ln, out, sd), partial(_fc, out, sd)
 
     if "patch_embed.proj.weight" in sd:
         _put(out, "params", "patch_embed/kernel", _conv(sd["patch_embed.proj.weight"]))
@@ -275,14 +277,7 @@ def convert_swinv2(
     out: Dict[str, Dict[str, np.ndarray]] = {"params": {}, "batch_stats": {}}
     sd = _SD(state_dict)
 
-    def ln(t, f):
-        _put(out, "params", f"{f}/scale", _t(sd[f"{t}.weight"]))
-        _put(out, "params", f"{f}/bias", _t(sd[f"{t}.bias"]))
-
-    def fc(t, f):
-        _put(out, "params", f"{f}/kernel", _dense(sd[f"{t}.weight"]))
-        if f"{t}.bias" in sd:
-            _put(out, "params", f"{f}/bias", _t(sd[f"{t}.bias"]))
+    ln, fc = partial(_ln, out, sd), partial(_fc, out, sd)
 
     if "patch_embed.proj.weight" in sd:
         _put(out, "params", "patch_embed/kernel", _conv(sd["patch_embed.proj.weight"]))
@@ -329,14 +324,7 @@ def convert_convnext(
     out: Dict[str, Dict[str, np.ndarray]] = {"params": {}, "batch_stats": {}}
     sd = _SD(state_dict)
 
-    def ln(t, f):
-        _put(out, "params", f"{f}/scale", _t(sd[f"{t}.weight"]))
-        _put(out, "params", f"{f}/bias", _t(sd[f"{t}.bias"]))
-
-    def fc(t, f):
-        _put(out, "params", f"{f}/kernel", _dense(sd[f"{t}.weight"]))
-        if f"{t}.bias" in sd:
-            _put(out, "params", f"{f}/bias", _t(sd[f"{t}.bias"]))
+    ln, fc = partial(_ln, out, sd), partial(_fc, out, sd)
 
     if "stem.0.weight" in sd:
         _put(out, "params", "stem_conv/kernel", _conv(sd["stem.0.weight"]))
@@ -532,14 +520,24 @@ CONVERTERS = {
 def convert_state_dict(
     state_dict: Dict[str, Any], arch: str, strict: bool = True
 ) -> Dict[str, Dict[str, np.ndarray]]:
-    """Dispatch on architecture name (canonicalized zoo naming; timm tag
-    suffixes and tf_ prefixes are tolerated). ``strict`` raises if any source
-    tensor is left unmapped (recommended: a partial import is a silent
-    accuracy bug, see ADVICE r2)."""
+    """Dispatch on architecture name (canonicalized zoo naming; a timm-
+    prefix is tolerated). ``strict`` raises if any source tensor is left
+    unmapped (recommended: a partial import is a silent accuracy bug, see
+    ADVICE r2)."""
     name = arch
-    for pre in ("timm-", "tf_"):
-        if name.startswith(pre):
-            name = name[len(pre):]
+    if name.startswith("timm-"):
+        name = name[len("timm-"):]
+    if name.startswith("tf_"):
+        # tf_* checkpoints carry identical KEYS to the non-tf variants, so a
+        # strict conversion would 'succeed' — but they were trained with
+        # asymmetric TF-SAME conv padding our models don't implement
+        # (symmetric kernel//2): every stride-2 conv would compute shifted
+        # activations and accuracy silently degrades. Refuse instead.
+        raise ValueError(
+            f"{arch!r}: tf_* weights use asymmetric TF-SAME padding that this "
+            "zoo's convs do not replicate; import the non-tf_ variant of the "
+            "same architecture instead"
+        )
     for prefix, fn in CONVERTERS.items():
         if name.startswith(prefix) or (
             name.startswith(("resnext", "wide_resnet", "legacy_seresnet"))
