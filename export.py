@@ -56,14 +56,15 @@ def main(opt):
     # exported weights are fixed: prequantize Dense kernels once — the
     # StableHLO then bakes int8 kernels instead of a per-call quantize pass
     qcache = None
-    if opt.quant == "int8":
+    quant = getattr(opt, "quant", None)
+    if quant == "int8":
         from visiondk_tpu.ops.quant import build_weight_cache
 
         qcache = build_weight_cache(state.ema_params if opt.ema else state.params)
     step = (
-        make_embed_step(cp.model, scfg, use_ema=opt.ema, quant=opt.quant, quant_cache=qcache)
+        make_embed_step(cp.model, scfg, use_ema=opt.ema, quant=quant, quant_cache=qcache)
         if use_embed
-        else make_eval_step(cp.model, scfg, use_ema=opt.ema, quant=opt.quant, quant_cache=qcache)
+        else make_eval_step(cp.model, scfg, use_ema=opt.ema, quant=quant, quant_cache=qcache)
     )
 
     def infer(images):

@@ -44,7 +44,8 @@ def main(opt):
     x = np.asarray(transforms(read_image(opt.img)))[None]
 
     qcache = None
-    if opt.quant == "int8":
+    quant = getattr(opt, "quant", None)
+    if quant == "int8":
         from visiondk_tpu.ops.quant import build_weight_cache
 
         qcache = build_weight_cache(state.ema_params if opt.ema else state.params)
@@ -52,7 +53,7 @@ def main(opt):
         cp.model,
         StepConfig(mean=cp.data_processor.normalization[0], std=cp.data_processor.normalization[1]),
         use_ema=opt.ema,
-        quant=opt.quant,
+        quant=quant,
         quant_cache=qcache,
     )
     logits = np.asarray(eval_step(state, {"image": x}))[0]

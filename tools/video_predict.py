@@ -51,7 +51,8 @@ def main(opt):
     state = cp._init_state(tx, (1, cp.imgsz, cp.imgsz, 3))
     state, _ = CheckpointManager(weight.parent).restore(weight.name, state)
     qcache = None
-    if opt.quant == "int8":
+    quant = getattr(opt, "quant", None)
+    if quant == "int8":
         from visiondk_tpu.ops.quant import build_weight_cache
 
         qcache = build_weight_cache(state.ema_params if opt.ema else state.params)
@@ -59,7 +60,7 @@ def main(opt):
         cp.model,
         StepConfig(mean=cp.data_processor.normalization[0], std=cp.data_processor.normalization[1]),
         use_ema=opt.ema,
-        quant=opt.quant,
+        quant=quant,
         quant_cache=qcache,
     )
     transforms = create_aug_transforms(cp.data_cfg["val"]["augment"])

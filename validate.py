@@ -53,7 +53,8 @@ def main(opt):
     # serving weights are fixed: prequantize Dense kernels once instead of
     # paying the in-graph weight absmax/round pass on every batch
     qcache = None
-    if opt.quant == "int8":
+    quant = getattr(opt, "quant", None)
+    if quant == "int8":
         from visiondk_tpu.ops.quant import build_weight_cache
 
         qcache = build_weight_cache(state.ema_params if opt.ema else state.params)
@@ -63,7 +64,7 @@ def main(opt):
             cp.model,
             StepConfig(mean=cp.data_processor.normalization[0], std=cp.data_processor.normalization[1]),
             use_ema=opt.ema,
-            quant=opt.quant,
+            quant=quant,
             quant_cache=qcache,
         )
         loader = cp.data_processor.dataloader("val", bs)
@@ -89,7 +90,7 @@ def main(opt):
             cp.model,
             StepConfig(mean=cp.data_processor.normalization[0], std=cp.data_processor.normalization[1]),
             use_ema=opt.ema,
-            quant=opt.quant,
+            quant=quant,
             quant_cache=qcache,
         )
         metrics = cp._eval_embedding(embed_step, state)

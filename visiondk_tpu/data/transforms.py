@@ -1,11 +1,17 @@
 """Host-side augmentation registry.
 
-Parity with the reference transform registry (dataset/transforms.py:51-61
-``@register_method`` → ``AUG_METHODS`` → ``create_AugTransforms`` :530-557)
-including its custom ops (Cutout :63-109, CutAddNoise :111-162, LocalGaussian
-:248-314, PadIfNeed :207-246, ResizeAndPadding2Square letterbox :325-388,
-aspect-aware RandomResizedCrop :390-400, RandomDoubleFlip :316-323) — written
-on PIL/NumPy, no torchvision.
+Parity with the FULL reference transform registry (dataset/transforms.py:16-45
+``__all__`` → :51-61 ``@register_method`` → ``AUG_METHODS`` →
+``create_AugTransforms`` :530-557) including its custom ops (Cutout :63-109
+with ratio/ranges/RGB color, CutAddNoise :111-162 with noisy_src, LocalGaussian
+:248-314 with ksize+seamlessClone, PadIfNeed/pad2square :207-246,
+ResizeAndPadding2Square letterbox :325-388, aspect-aware RandomResizedCrop
+:390-400, RandomDoubleFlip :316-323) and the torchvision wrappers
+(RandAugment :479-481, RandomAffine :506-508, color_jitter :416-421,
+random_invert :431-433, centercrop_resize :502-504, to_tensor_without_div
+:470-472) — written on PIL/NumPy (cv2 only for seamlessClone, gated).
+A reference YAML augment block compiles unmodified
+(tests/test_transform_registry.py pins every name with reference params).
 
 TPU split of responsibilities (BASELINE.json north star): host workers do
 decode + geometry (resize/crop/flip/letterbox) and the cheap photometric ops;
@@ -69,9 +75,12 @@ SPATIAL_TRANSFORMS = {
     "resize_and_padding",
     "random_crop_and_resize",
     "pad_if_need",
+    "pad2square",
+    "centercrop_resize",
     "random_horizonflip",
     "random_verticalflip",
     "random_double_flip",
+    "random_doubleflip",
     "random_rotate",
 }
 
@@ -295,7 +304,8 @@ class RandomVerticalFlip(Transform):
 
 @AUG_METHODS.register(name="random_double_flip")
 class RandomDoubleFlip(Transform):
-    """Random H then random V flip (reference transforms.py:316-323)."""
+    """Random H then random V flip (both may fire — this repo's historical
+    spelling; the reference-exact choose-one variant is ``random_doubleflip``)."""
 
     name = "random_double_flip"
 
@@ -307,17 +317,160 @@ class RandomDoubleFlip(Transform):
         return self.v(self.h(img))
 
 
+@AUG_METHODS.register(name="random_doubleflip")
+class RandomDoubleFlipChoice(Transform):
+    """Reference RandomDoubleFlip (transforms.py:316-323): pick ONE of
+    [vflip(0.5), hflip(0.5)] weighted by ``prob`` and apply it."""
+
+    name = "random_doubleflip"
+
+    def __init__(self, prob: Union[float, Sequence[float]] = 0.5):
+        self.prob = tuple(prob) if isinstance(prob, (list, tuple)) else (prob, prob)
+        self.choices = [RandomVerticalFlip(0.5), RandomHorizontalFlip(0.5)]
+
+    def __call__(self, img):
+        return rng().choices(self.choices, weights=self.prob, k=1)[0](img)
+
+
 @AUG_METHODS.register(name="random_rotate")
 class RandomRotate(Transform):
     name = "random_rotate"
 
-    def __init__(self, degrees: float = 10.0, expand: bool = False):
-        self.degrees = degrees
+    def __init__(self, degrees: Union[float, Sequence[float]] = 10.0, expand: bool = False):
+        self.degrees = (
+            (-float(degrees), float(degrees))
+            if isinstance(degrees, (int, float))
+            else (float(degrees[0]), float(degrees[1]))
+        )
         self.expand = expand
 
     def __call__(self, img):
-        angle = rng().uniform(-self.degrees, self.degrees)
+        angle = rng().uniform(*self.degrees)
         return _to_pil(img).rotate(angle, Image.BILINEAR, expand=self.expand)
+
+
+def _inverse_affine_matrix(center, angle, translate, scale, shear):
+    """torchvision's _get_inverse_affine_matrix: the output→input AFFINE
+    coefficients PIL.Image.transform consumes, for rotation ``angle``° about
+    ``center`` + ``translate`` px + ``scale`` + ``shear`` (sx, sy)°."""
+    import math
+
+    rot = math.radians(angle)
+    sx, sy = (math.radians(s) for s in shear)
+    cx, cy = center
+    tx, ty = translate
+
+    a = math.cos(rot - sy) / math.cos(sy)
+    b = -math.cos(rot - sy) * math.tan(sx) / math.cos(sy) - math.sin(rot)
+    c = math.sin(rot - sy) / math.cos(sy)
+    d = -math.sin(rot - sy) * math.tan(sx) / math.cos(sy) + math.cos(rot)
+
+    matrix = [d / scale, -b / scale, 0.0, -c / scale, a / scale, 0.0]
+    matrix[2] += matrix[0] * (-cx - tx) + matrix[1] * (-cy - ty)
+    matrix[5] += matrix[3] * (-cx - tx) + matrix[4] * (-cy - ty)
+    matrix[2] += cx
+    matrix[5] += cy
+    return matrix
+
+
+def _pil_affine(img, angle=0.0, translate=(0, 0), scale=1.0, shear=(0.0, 0.0),
+                interpolation=Image.BILINEAR, fill=0, center=None):
+    """F.affine on the PIL backend. Default center (w/2, h/2) in PIL's
+    corner-based coordinates (pixel i spans [i, i+1)) — torchvision's
+    convention; PIL evaluates the inverse matrix at output (x+0.5, y+0.5)."""
+    w, h = img.size
+    cx, cy = center if center is not None else (w * 0.5, h * 0.5)
+    matrix = _inverse_affine_matrix((cx, cy), angle, translate, scale, shear)
+    if isinstance(fill, (int, float)):
+        fill = tuple([int(fill)] * len(img.getbands()))
+    return img.transform((w, h), Image.AFFINE, matrix, interpolation, fillcolor=tuple(fill))
+
+
+@AUG_METHODS.register(name="random_affine")
+class RandomAffine(Transform):
+    """torchvision RandomAffine parameter sampling (reference
+    transforms.py:507-508): angle ~ U(degrees), per-axis translation as a
+    fraction of size, scale ~ U(scale range), shear per axis. Scalars for
+    degrees/shear mean symmetric ranges; 0/None translate/scale disables."""
+
+    name = "random_affine"
+
+    def __init__(self, degrees=0.0, translate=0.0, scale=0.0, shear=0.0, fill=0, center=None):
+        self.degrees = (
+            (-float(degrees), float(degrees))
+            if isinstance(degrees, (int, float))
+            else tuple(float(d) for d in degrees)
+        )
+        self.translate = tuple(translate) if isinstance(translate, (list, tuple)) else None
+        self.scale = tuple(scale) if isinstance(scale, (list, tuple)) else None
+        if isinstance(shear, (int, float)):
+            self.shear = (-float(shear), float(shear), 0.0, 0.0) if shear else (0.0, 0.0, 0.0, 0.0)
+        elif len(shear) == 2:
+            self.shear = (float(shear[0]), float(shear[1]), 0.0, 0.0)
+        else:
+            self.shear = tuple(float(s) for s in shear)
+        self.fill = fill
+        self.center = tuple(center) if center is not None else None
+
+    def __call__(self, img):
+        img = _to_pil(img)
+        w, h = img.size
+        r = rng()
+        angle = r.uniform(*self.degrees)
+        if self.translate is not None:
+            max_dx, max_dy = self.translate[0] * w, self.translate[1] * h
+            translate = (int(round(r.uniform(-max_dx, max_dx))), int(round(r.uniform(-max_dy, max_dy))))
+        else:
+            translate = (0, 0)
+        scale = r.uniform(*self.scale) if self.scale is not None else 1.0
+        shear = (r.uniform(self.shear[0], self.shear[1]), r.uniform(self.shear[2], self.shear[3]))
+        return _pil_affine(img, angle, translate, scale, shear, fill=self.fill, center=self.center)
+
+
+@AUG_METHODS.register(name="centercrop_resize")
+class CenterCropAndResize(Transform):
+    """Center-crop to ``center_size`` then resize to ``re_size`` (reference
+    transforms.py:164-168, :503-504)."""
+
+    name = "centercrop_resize"
+
+    def __init__(self, center_size, re_size):
+        self.center = CenterCrop(center_size)
+        self.resize = Resize(re_size)
+        self.size = re_size  # SPATIAL_TRANSFORMS contract (progressive resize)
+
+    def __call__(self, img):
+        return self.resize(self.center(img))
+
+
+@AUG_METHODS.register(name="pad2square")
+class Pad2Square(Transform):
+    """Pad to a square of the max side with a solid ``pad_value`` color
+    (reference PadIfNeed, transforms.py:207-227): mode='average' centers the
+    image, mode='edge' pastes it at the bottom-right (fill one side)."""
+
+    name = "pad2square"
+
+    def __init__(self, pad_value: Union[int, Sequence[int]] = 0, mode: str = "average"):
+        if isinstance(pad_value, int):
+            pad_value = (pad_value, pad_value, pad_value)
+        if len(pad_value) != 3:
+            raise ValueError("pad_value must be an int or a 3-sequence")
+        if mode not in ("edge", "average"):
+            raise ValueError("mode can only be 'edge' [fill one side] or 'average' [fill both sides]")
+        self.pad_value = tuple(pad_value)
+        self.mode = mode
+
+    def __call__(self, img):
+        img = _to_pil(img)
+        w, h = img.size
+        m = max(w, h)
+        canvas = Image.new("RGB", (m, m), self.pad_value)
+        if self.mode == "average":
+            canvas.paste(img, ((m - w) // 2, (m - h) // 2))
+        else:
+            canvas.paste(img, (m - w, m - h))
+        return canvas
 
 
 # ---------------------------------------------------------------- photometric
@@ -327,12 +480,14 @@ class RandomRotate(Transform):
 class RandomColorJitter(Transform):
     name = "random_color_jitter"
 
-    def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0, p: float = 1.0):
+    def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0,
+                 p: float = 1.0, prob: Optional[float] = None):
         self.brightness = brightness
         self.contrast = contrast
         self.saturation = saturation
         self.hue = hue
-        self.p = p
+        # reference spells the gate 'prob' (transforms.py:447-449)
+        self.p = p if prob is None else prob
 
     @staticmethod
     def _factor(v):
@@ -364,17 +519,36 @@ class RandomColorJitter(Transform):
 
 @AUG_METHODS.register(name="random_gaussianblur")
 class RandomGaussianBlur(Transform):
+    """torchvision semantics (reference transforms.py:511-513:
+    RandomApply([GaussianBlur(kernel_size, sigma)], p=prob)): with prob,
+    draw sigma ~ U(sigma[0], sigma[1]) (or use a fixed scalar sigma) and blur.
+    PIL's GaussianBlur radius IS the standard deviation, so radius=sigma;
+    kernel_size only truncates the torchvision kernel and is immaterial for
+    kernel_size ≥ 4·sigma+1 (pinned by tests/test_transform_registry.py).
+    ``p`` is a legacy alias for ``prob``."""
+
     name = "random_gaussianblur"
 
-    def __init__(self, kernel_size: int = 5, p: float = 0.5):
-        self.radius = max(kernel_size // 2, 1)
-        self.p = p
+    def __init__(
+        self,
+        prob: float = 0.5,
+        kernel_size: int = 3,
+        sigma=(0.1, 2.0),
+        p: Optional[float] = None,
+    ):
+        self.prob = prob if p is None else p
+        self.kernel_size = kernel_size
+        self.sigma = sigma
 
     def __call__(self, img):
         img = _to_pil(img)
-        if rng().random() < self.p:
-            return img.filter(ImageFilter.GaussianBlur(radius=rng().uniform(0.1, self.radius)))
-        return img
+        if rng().random() >= self.prob:
+            return img
+        if isinstance(self.sigma, (list, tuple)):
+            sigma = rng().uniform(float(self.sigma[0]), float(self.sigma[1]))
+        else:
+            sigma = float(self.sigma)
+        return img.filter(ImageFilter.GaussianBlur(radius=sigma))
 
 
 @AUG_METHODS.register(name="random_autocontrast")
@@ -414,6 +588,31 @@ class RandomEqualize(Transform):
     def __call__(self, img):
         img = _to_pil(img)
         return ImageOps.equalize(img) if rng().random() < self.p else img
+
+
+@AUG_METHODS.register(name="random_invert")
+class RandomInvert(Transform):
+    """Invert colors with prob p (reference transforms.py:431-433)."""
+
+    name = "random_invert"
+
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, img):
+        img = _to_pil(img)
+        return ImageOps.invert(img.convert("RGB")) if rng().random() < self.p else img
+
+
+@AUG_METHODS.register(name="color_jitter")
+class ColorJitter(RandomColorJitter):
+    """Always-applied ColorJitter (reference transforms.py:416-421 — the
+    deterministic registry variant; factors are still drawn per call)."""
+
+    name = "color_jitter"
+
+    def __init__(self, brightness=0.1, contrast=0.1, saturation=0.1, hue=0.1):
+        super().__init__(brightness, contrast, saturation, hue, p=1.0)
 
 
 @AUG_METHODS.register(name="random_grayscale")
@@ -471,21 +670,121 @@ class RandomAugMix(Transform):
         return Image.fromarray(np.clip(out, 0, 255).astype(np.uint8))
 
 
+@AUG_METHODS.register(name="random_augment")
+class RandAugment(Transform):
+    """RandAugment with torchvision's augmentation space (reference
+    transforms.py:479-481 wraps T.RandAugment): num_ops ops drawn uniformly
+    from 14, each at strength ``magnitude`` of ``num_magnitude_bins`` with a
+    random sign. Geometric ops ride the same inverse-affine math torchvision
+    uses (NEAREST interpolation, like torchvision's default)."""
+
+    name = "random_augment"
+
+    _OPS = (
+        "Identity", "ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate",
+        "Brightness", "Color", "Contrast", "Sharpness", "Posterize",
+        "Solarize", "AutoContrast", "Equalize",
+    )
+
+    def __init__(self, num_ops: int = 2, magnitude: int = 9, num_magnitude_bins: int = 31):
+        self.num_ops = num_ops
+        self.magnitude = magnitude
+        self.bins = num_magnitude_bins
+
+    def _magnitude(self, op: str, w: int, h: int) -> float:
+        t = self.magnitude / (self.bins - 1)
+        if op in ("ShearX", "ShearY"):
+            return 0.3 * t
+        if op == "TranslateX":
+            return 150.0 / 331.0 * w * t
+        if op == "TranslateY":
+            return 150.0 / 331.0 * h * t
+        if op == "Rotate":
+            return 30.0 * t
+        if op in ("Brightness", "Color", "Contrast", "Sharpness"):
+            return 0.9 * t
+        if op == "Posterize":
+            return 8 - int(round(self.magnitude / ((self.bins - 1) / 4)))
+        if op == "Solarize":
+            return 255.0 * (1.0 - t)
+        return 0.0
+
+    def _apply(self, img, op: str, mag: float):
+        import math
+
+        if op == "Identity":
+            return img
+        if op == "ShearX":
+            return _pil_affine(img, shear=(math.degrees(math.atan(mag)), 0.0),
+                               interpolation=Image.NEAREST, center=(0, 0))
+        if op == "ShearY":
+            return _pil_affine(img, shear=(0.0, math.degrees(math.atan(mag))),
+                               interpolation=Image.NEAREST, center=(0, 0))
+        if op == "TranslateX":
+            return _pil_affine(img, translate=(int(round(mag)), 0), interpolation=Image.NEAREST)
+        if op == "TranslateY":
+            return _pil_affine(img, translate=(0, int(round(mag))), interpolation=Image.NEAREST)
+        if op == "Rotate":
+            return img.rotate(mag, Image.NEAREST)
+        if op == "Brightness":
+            return ImageEnhance.Brightness(img).enhance(1.0 + mag)
+        if op == "Color":
+            return ImageEnhance.Color(img).enhance(1.0 + mag)
+        if op == "Contrast":
+            return ImageEnhance.Contrast(img).enhance(1.0 + mag)
+        if op == "Sharpness":
+            return ImageEnhance.Sharpness(img).enhance(1.0 + mag)
+        if op == "Posterize":
+            return ImageOps.posterize(img, int(mag))
+        if op == "Solarize":
+            return ImageOps.solarize(img, int(mag))
+        if op == "AutoContrast":
+            return ImageOps.autocontrast(img)
+        return ImageOps.equalize(img)
+
+    def __call__(self, img):
+        img = _to_pil(img).convert("RGB")
+        w, h = img.size
+        r = rng()
+        for _ in range(self.num_ops):
+            op = self._OPS[r.randrange(len(self._OPS))]
+            mag = self._magnitude(op, w, h)
+            if op in ("ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate",
+                      "Brightness", "Color", "Contrast", "Sharpness") and r.random() < 0.5:
+                mag = -mag
+            img = self._apply(img, op, mag)
+        return img
+
+
 # ---------------------------------------------------------------- occlusion
 
 
 @AUG_METHODS.register(name="random_cutout")
 class Cutout(Transform):
-    """n_holes square cutouts filled with a random value in ``color`` range,
-    each applied with prob (reference transforms.py:63-109)."""
+    """n_holes rectangular cutouts (width jittered by ±``ratio``), each hole a
+    solid RGB color with per-channel value drawn from the ``color`` range,
+    centers drawn from ``h_range``/``w_range`` (reference transforms.py:63-109
+    exactly: mask is length×(U(1−r,1+r)·length), pasted at center−length//2)."""
 
     name = "random_cutout"
 
-    def __init__(self, n_holes: int = 1, length: int = 16, prob: float = 0.5, color=(0, 255)):
+    def __init__(
+        self,
+        n_holes: int = 1,
+        length: int = 200,
+        ratio: float = 0.2,
+        h_range: Optional[Sequence[int]] = None,
+        w_range: Optional[Sequence[int]] = None,
+        prob: float = 0.5,
+        color: Sequence[int] = (0, 0),
+    ):
         self.n_holes = n_holes
         self.length = length
+        self.ratio = ratio
+        self.h_range = h_range
+        self.w_range = w_range
         self.prob = prob
-        self.color = color
+        self.color = tuple(color)
 
     def __call__(self, img):
         img = _to_pil(img)
@@ -493,24 +792,52 @@ class Cutout(Transform):
             return img
         arr = np.array(img)
         h, w = arr.shape[:2]
+        h_range = self.h_range if self.h_range is not None else (0, h)
+        w_range = self.w_range if self.w_range is not None else (0, w)
+        mask_w = int(rng().uniform(1 - self.ratio, 1 + self.ratio) * self.length)
+        mask_h = self.length
         for _ in range(self.n_holes):
-            y, x = rng().randint(0, h - 1), rng().randint(0, w - 1)
-            y1, y2 = max(y - self.length // 2, 0), min(y + self.length // 2, h)
-            x1, x2 = max(x - self.length // 2, 0), min(x + self.length // 2, w)
-            arr[y1:y2, x1:x2] = rng().randint(self.color[0], self.color[1])
+            fill = tuple(rng().randint(self.color[0], self.color[1]) for _ in range(3))
+            y = int(np_rng().integers(*h_range))
+            x = int(np_rng().integers(*w_range))
+            x1 = max(0, x - self.length // 2)
+            y1 = max(0, y - self.length // 2)
+            region = arr[y1 : y1 + mask_h, x1 : x1 + mask_w]
+            region[...] = np.asarray(fill[: arr.shape[2]] if arr.ndim == 3 else fill[0], arr.dtype)
         return Image.fromarray(arr)
 
 
 @AUG_METHODS.register(name="random_cutaddnoise")
 class CutAddNoise(Transform):
-    """Paste uniform-noise patches (reference transforms.py:111-162)."""
+    """Paste noise patches cropped from a random real image in ``noisy_src``
+    (a directory of .jpg, reference transforms.py:111-162); without a source
+    directory, synthesized uniform noise is used instead (our extension —
+    the reference crashes on noisy_src=None)."""
 
     name = "random_cutaddnoise"
 
-    def __init__(self, n_holes: int = 1, length: int = 16, prob: float = 0.5):
+    def __init__(
+        self,
+        n_holes: int = 1,
+        length: int = 200,
+        noisy_src: Optional[str] = None,
+        h_range: Optional[Sequence[int]] = None,
+        w_range: Optional[Sequence[int]] = None,
+        prob: float = 0.5,
+    ):
         self.n_holes = n_holes
         self.length = length
+        self.h_range = h_range
+        self.w_range = w_range
         self.prob = prob
+        if noisy_src:
+            import glob
+
+            self.noisy = sorted(glob.glob(f"{noisy_src}/*.jpg"))
+            if not self.noisy:
+                raise ValueError(f"random_cutaddnoise: no .jpg under {noisy_src!r}")
+        else:
+            self.noisy = None
 
     def __call__(self, img):
         img = _to_pil(img)
@@ -518,39 +845,112 @@ class CutAddNoise(Transform):
             return img
         arr = np.array(img)
         h, w = arr.shape[:2]
+        h_range = self.h_range if self.h_range is not None else (0, h)
+        w_range = self.w_range if self.w_range is not None else (0, w)
+        if self.noisy is not None:
+            noisy = Image.open(rng().choice(self.noisy)).convert("RGB").resize((w, h))
+            noisy_arr = np.array(noisy)
+        else:
+            noisy_arr = np_rng().integers(0, 256, size=arr.shape, dtype=np.uint8)
         for _ in range(self.n_holes):
-            y, x = rng().randint(0, h - 1), rng().randint(0, w - 1)
-            y1, y2 = max(y - self.length // 2, 0), min(y + self.length // 2, h)
-            x1, x2 = max(x - self.length // 2, 0), min(x + self.length // 2, w)
-            noise = np_rng().integers(0, 256, size=arr[y1:y2, x1:x2].shape, dtype=np.uint8)
-            arr[y1:y2, x1:x2] = noise
+            y = int(np_rng().integers(*h_range))
+            x = int(np_rng().integers(*w_range))
+            x1, y1 = max(0, x - self.length // 2), max(0, y - self.length // 2)
+            x2 = min(w, x + self.length // 2)
+            y2 = min(h, y + self.length // 2)
+            arr[y1:y2, x1:x2] = noisy_arr[y1:y2, x1:x2]
         return Image.fromarray(arr)
 
 
 @AUG_METHODS.register(name="random_localgaussian")
 class LocalGaussian(Transform):
-    """Blur a random local patch (reference transforms.py:248-314 uses
-    seamlessClone; here: blend a blurred crop back in)."""
+    """Blur a random local region and blend it back with a square-or-ellipse
+    feathered mask (reference transforms.py:248-314: cv2.GaussianBlur(ksize)
+    + seamlessClone — the feathered alpha blend approximates the seamless
+    boundary without an OpenCV dependency). Region size defaults to the
+    reference's [side/5, 3·side/10] range; ``h_range``/``w_range`` constrain
+    the center like the reference's valid ranges.
+
+    ``radius``/``length`` are accepted as legacy aliases (pre-round-4
+    signature): radius → blur sigma, length → fixed region size.
+    """
 
     name = "random_localgaussian"
 
-    def __init__(self, radius: int = 4, length: int = 32, prob: float = 0.5):
-        self.radius = radius
-        self.length = length
+    def __init__(
+        self,
+        prob: float = 0.5,
+        ksize: Sequence[int] = (7, 7),
+        h_range: Optional[Sequence[int]] = None,
+        w_range: Optional[Sequence[int]] = None,
+        radius: Optional[float] = None,
+        length: Optional[int] = None,
+    ):
         self.prob = prob
+        self.k = int(ksize[0] if isinstance(ksize, (list, tuple)) else ksize)
+        # OpenCV's sigma for sigmaX=0: 0.3·((k−1)/2 − 1) + 0.8
+        self.sigma = radius if radius is not None else 0.3 * ((self.k - 1) * 0.5 - 1) + 0.8
+        self.h_range = h_range
+        self.w_range = w_range
+        self.length = length
+
+    def _region(self, w: int, h: int) -> Tuple[int, int, int, int]:
+        vw = self.w_range if self.w_range is not None else (0, w)
+        vh = self.h_range if self.h_range is not None else (0, h)
+        for _ in range(100):
+            x = rng().randint(*vw)
+            y = rng().randint(*vh)
+            if self.length is not None:
+                rh = rw = self.length
+            else:
+                rh = rng().randint(h // 5, max(h // 10 * 3, h // 5 + 1))
+                rw = rng().randint(w // 5, max(w // 10 * 3, w // 5 + 1))
+            if x + rw <= vw[1] and y + rh <= vh[1]:
+                return x, y, rw, rh
+        return 0, 0, max(w // 5, 1), max(h // 5, 1)
 
     def __call__(self, img):
         img = _to_pil(img)
-        if rng().random() > self.prob:
+        if rng().random() >= self.prob:
             return img
         w, h = img.size
-        x = rng().randint(0, max(w - self.length, 0))
-        y = rng().randint(0, max(h - self.length, 0))
-        box = (x, y, min(x + self.length, w), min(y + self.length, h))
-        patch = img.crop(box).filter(ImageFilter.GaussianBlur(self.radius))
-        img = img.copy()
-        img.paste(patch, box)
-        return img
+        x, y, rw, rh = self._region(w, h)
+        x, y = min(x, w - rw), min(y, h - rh)
+        square = rng().random() < 0.5  # reference generate_seamless_mask
+        try:
+            import cv2
+
+            arr = np.asarray(img.convert("RGB"))
+            blur = cv2.GaussianBlur(arr, (self.k, self.k), sigmaX=0)
+            roi = blur[y : y + rh, x : x + rw]
+            mask = np.zeros(roi.shape[:2], np.uint8)
+            if square:
+                mask.fill(255)
+            else:
+                cv2.ellipse(mask, (rw // 2, rh // 2), (rw // 2, rh // 2), 0, 0, 360, 255, -1)
+            try:
+                merged = cv2.seamlessClone(
+                    roi, arr, mask, p=(x + rw // 2, y + rh // 2), flags=cv2.NORMAL_CLONE
+                )
+            except cv2.error:
+                return img
+            return Image.fromarray(merged)
+        except ImportError:
+            pass
+        # PIL fallback: feathered alpha blend approximates the seamless boundary
+        blurred = img.filter(ImageFilter.GaussianBlur(self.sigma))
+        mask = Image.new("L", (rw, rh), 0)
+        from PIL import ImageDraw
+
+        draw = ImageDraw.Draw(mask)
+        if square:
+            draw.rectangle((0, 0, rw - 1, rh - 1), fill=255)
+        else:
+            draw.ellipse((0, 0, rw - 1, rh - 1), fill=255)
+        mask = mask.filter(ImageFilter.GaussianBlur(max(min(rw, rh) // 8, 1)))
+        out = img.copy()
+        out.paste(blurred.crop((x, y, x + rw, y + rh)), (x, y), mask)
+        return out
 
 
 # ---------------------------------------------------------------- terminal markers
@@ -568,6 +968,22 @@ class ToTensor(Transform):
     def __call__(self, img):
         arr = np.asarray(_to_pil(img).convert("RGB"), dtype=np.uint8)
         return arr
+
+
+@AUG_METHODS.register(name="to_tensor_without_div")
+class ToTensorNoDiv(Transform):
+    """PIL → HWC float32 WITHOUT the /255 (reference PILToTensorNoDiv,
+    transforms.py:181-186, :470-472). Emitting float32 here makes the device
+    stage skip its uint8 /255 (engine/steps.device_preprocess divides only
+    uint8 inputs), reproducing the reference's 0..255-scale normalize."""
+
+    name = "to_tensor_without_div"
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, img):
+        return np.asarray(_to_pil(img).convert("RGB"), dtype=np.float32)
 
 
 @AUG_METHODS.register(name="normalize")
@@ -655,6 +1071,9 @@ def set_pipeline_size(pipeline: Compose, size: int) -> Compose:
                 t.size = size
                 if isinstance(t, RandomResizedCrop):
                     t.resize_and_padding.size = size
+            elif isinstance(t, CenterCropAndResize):
+                t.size = size
+                t.resize.size = size
             elif isinstance(t, (CenterCrop, RandomCrop, PadIfNeed)):
                 t.size = (size, size)
 
