@@ -19,7 +19,7 @@ import time
 CPU_BASELINE_IPS = 2.6
 
 
-def build(batch: int, dtype_name: str = "bfloat16"):
+def build(batch: int, dtype_name: str = "bfloat16", device_augment=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -41,7 +41,10 @@ def build(batch: int, dtype_name: str = "bfloat16"):
     )
     state = create_train_state(variables, tx)
     cfg = StepConfig(task="classification")
-    step = make_train_step(model, tx, create_lossfn("ce", label_smooth=0.05), cfg, jax.random.key(1))
+    step = make_train_step(
+        model, tx, create_lossfn("ce", label_smooth=0.05), cfg, jax.random.key(1),
+        device_augment=device_augment,
+    )
 
     embed_model = EmbeddingModel(
         backbone_name="vit_base_patch16_224",
@@ -204,12 +207,37 @@ def _make_toy_imagenet(root, n_classes=8, per_class=64, size=(500, 375)):
     open(marker, "w").close()
 
 
-def run_pipeline(batch=128, steps=20, warmup=2, workers=8):
+PIPELINE_AUG = [
+    # pet.yaml-shaped train augment: photometric choice + flip + geometry
+    {
+        "random_choice": {
+            "transforms": [
+                {"random_color_jitter": {"brightness": 0.1, "contrast": 0.1,
+                                         "saturation": 0.1, "hue": 0.1}},
+                {"random_cutout": {"n_holes": 3, "length": 12, "prob": 0.5,
+                                   "color": [0, 255]}},
+                {"random_gaussianblur": {"kernel_size": 5}},
+                {"random_autocontrast": {"p": 0.5}},
+                {"random_adjustsharpness": {"p": 0.5}},
+            ]
+        }
+    },
+    {"random_horizonflip": {"p": 0.5}},
+    {"random_crop_and_resize": {"size": 224}},
+    {"to_tensor": "no_params"},
+]
+
+
+def run_pipeline(batch=128, steps=20, warmup=2, workers=8, device_aug=False):
     """End-to-end train throughput fed by the REAL input pipeline
     (disk JPEG → DataLoader host decode+augment → device step), next to a
     loader-only drain. On this one-core dev host the loader ceiling is
     ~100 img/s (BASELINE.md) — the point is proving compute/loader overlap:
     train-fed throughput ≈ loader-only throughput.
+
+    ``device_aug=True`` applies the round-4 split: the photometric/occlusion
+    ops lift onto the TPU (ops/device_augment) and the host keeps
+    decode + crop/resize only — the A/B for VERDICT item 2/8.
     """
     import jax
     import jax.numpy as jnp
@@ -217,15 +245,18 @@ def run_pipeline(batch=128, steps=20, warmup=2, workers=8):
     from visiondk_tpu.data.datasets import ImageDatasets
     from visiondk_tpu.data.loader import DataLoader
     from visiondk_tpu.data.transforms import create_aug_transforms
+    from visiondk_tpu.ops.device_augment import (
+        make_device_augment,
+        split_device_pipeline,
+    )
 
     root = "/tmp/vdk_bench_data"
     _make_toy_imagenet(root)
-    aug = create_aug_transforms(
-        [
-            {"random_crop_and_resize": {"size": 224}},
-            {"random_horizonflip": "no_params"},
-        ]
+    host_cfg, device_cfg = (
+        split_device_pipeline(PIPELINE_AUG) if device_aug else (PIPELINE_AUG, [])
     )
+    aug = create_aug_transforms(host_cfg)
+    augment_fn = make_device_augment(device_cfg) if device_cfg else None
     ds = ImageDatasets(root, "train", transforms=aug)
     loader = DataLoader(
         ds, batch, shuffle=True, drop_last=True, num_workers=workers, prefetch=6
@@ -253,7 +284,7 @@ def run_pipeline(batch=128, steps=20, warmup=2, workers=8):
     loader_ips = batch * steps / (time.perf_counter() - t0)
 
     # loader + train, overlap measured as device-wait fraction
-    state, step, *_ = build(batch)
+    state, step, *_ = build(batch, device_augment=augment_fn)
     lam = jnp.float32(0.0)
     n = 0
     t_start = None
@@ -268,10 +299,12 @@ def run_pipeline(batch=128, steps=20, warmup=2, workers=8):
     float(m["loss"])
     total = time.perf_counter() - t_start
     train_ips = batch * n / total
+    tag = "device-aug" if device_aug else "host-aug"
     print(
         json.dumps(
             {
-                "metric": "pipeline train images/sec (disk→DataLoader→step, bs=%d)" % batch,
+                "metric": "pipeline train images/sec (disk→DataLoader→step, %s, bs=%d)"
+                % (tag, batch),
                 "value": round(train_ips, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(train_ips / max(loader_ips, 1e-9), 3),
@@ -279,6 +312,7 @@ def run_pipeline(batch=128, steps=20, warmup=2, workers=8):
             }
         )
     )
+    return train_ips, loader_ips
 
 
 def _with_retries(fn, attempts=3, delay=30):
@@ -312,6 +346,19 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", "cpu")
         run(batch=8, train_iters=3, embed_iters=3, warmup=1)
+    elif "--pipeline-ab" in sys.argv:
+        # A/B: full-host augments vs device-augment split (VERDICT item 8)
+        host_ips, _ = _with_retries(lambda: run_pipeline(device_aug=False))
+        dev_ips, _ = _with_retries(lambda: run_pipeline(device_aug=True))
+        print(json.dumps({
+            "metric": "pipeline A/B device-aug speedup",
+            "value": round(dev_ips, 2),
+            "unit": "images/sec",
+            "vs_baseline": round(dev_ips / max(host_ips, 1e-9), 3),
+            "host_aug_ips": round(host_ips, 2),
+        }))
+    elif "--pipeline-devaug" in sys.argv:
+        _with_retries(lambda: run_pipeline(device_aug=True))
     elif "--pipeline" in sys.argv:
         _with_retries(run_pipeline)
     elif "--bs256" in sys.argv:

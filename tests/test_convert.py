@@ -91,19 +91,30 @@ def _resnet18_state_dict(num_classes=5):
     return sd
 
 
-def test_tf_checkpoints_are_refused():
-    # tf_* state_dicts have IDENTICAL keys to the non-tf variants, so a
-    # conversion would "succeed" strict — but the weights assume asymmetric
-    # TF-SAME conv padding our models don't implement (every stride-2 conv
-    # would compute shifted activations). The dispatcher must refuse loudly
-    # instead of importing silently-degraded weights.
-    import pytest
-
+def test_tf_checkpoints_dispatch_to_family_converters():
+    # tf_* state_dicts have IDENTICAL keys to the non-tf variants; round 4
+    # implemented the asymmetric TF-SAME padding in the tf_ model factories
+    # (backbones/mobilenet.tf_same_padding), so the dispatcher now routes
+    # tf_ names to the same family converters instead of refusing
+    # (logit goldens: tests/test_torch_parity_families.py tf_same tests).
     from visiondk_tpu.models.convert import convert_state_dict
 
-    for arch in ("tf_efficientnetv2_s", "timm-tf_mobilenetv3_large_100"):
-        with pytest.raises(ValueError, match="TF-SAME"):
-            convert_state_dict({}, arch)
+    sd = _resnet18_state_dict()
+    out_tf = convert_state_dict(sd, "tf_resnet18")
+    out = convert_state_dict(sd, "resnet18")
+    assert out_tf["params"].keys() == out["params"].keys()
+
+
+def test_tf_same_padding_geometry():
+    """TF-SAME: even-input stride-2 k3 pads (0,1) (bottom/right only);
+    stride-1 odd kernels stay symmetric."""
+    from visiondk_tpu.models.backbones.mobilenet import tf_same_padding
+
+    assert tf_same_padding(224, 224, 3, 2) == ((0, 1), (0, 1))
+    assert tf_same_padding(225, 224, 3, 2) == ((1, 1), (0, 1))
+    assert tf_same_padding(224, 224, 3, 1) == ((1, 1), (1, 1))
+    assert tf_same_padding(224, 224, 5, 1) == ((2, 2), (2, 2))
+    assert tf_same_padding(112, 112, 5, 2) == ((1, 2), (1, 2))
 
 
 def test_npz_roundtrip(tmp_path):

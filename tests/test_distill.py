@@ -51,6 +51,12 @@ def test_distill_step_trains(dataset_root, tmp_path, mesh8):
 
     student_cfg = _cfgs(dataset_root)
     student_cfg["hyp"]["epochs"] = 4
+    # lr 0.05 makes the KD trajectory oscillate on this toy set (val_loss
+    # swings 1e-3 ↔ 1e1 between epochs; whether an epoch lands above the
+    # fitness bar was RNG-stream luck — observed when the round-4 device
+    # augment stage shifted the step's key splits). 0.01 converges
+    # monotonically regardless of stream.
+    student_cfg["hyp"]["lr0"] = 0.01
     cfgs = {
         "student": student_cfg,
         "teacher": {

@@ -155,3 +155,27 @@ def test_cbir_hf_end_to_end_eval(monkeypatch):
         metrics=("mrr", "recall"),
     )
     assert out["MRR@1"] == 1.0 and out["Recall@1"] == 1.0
+
+
+def test_combined_distribution_table():
+    """Train+val combined table parity (reference basedataset.py:256-306)."""
+    from visiondk_tpu.data.datasets import tell_data_distribution
+
+    class FakeDS:
+        def __init__(self, pairs):
+            self._pairs = pairs
+
+        def tell_data_distribution(self):
+            return self._pairs
+
+    rows, table = tell_data_distribution(
+        {"train": FakeDS([("cat", 10), ("dog", 4)]), "val": FakeDS([("cat", 2), ("dog", 1)])}
+    )
+    assert rows == [("cat", {"train": 10, "val": 2}), ("dog", {"train": 4, "val": 1})]
+    assert "Train Samples" in table and "Val Samples" in table
+    lines = table.splitlines()
+    assert any("total" in l and "14" in l and "3" in l for l in lines)
+    # val absent (embedding tasks): single column, no crash
+    rows2, table2 = tell_data_distribution({"train": FakeDS([("x", 3)]), "val": None})
+    assert rows2 == [("x", {"train": 3})]
+    assert "Val" not in table2

@@ -109,3 +109,95 @@ def test_cbir_extract_uses_native(tmp_path):
     feats, keys = _extract(embed, state, query, batch_size=3)
     assert feats.shape == (4, 8)
     assert keys == query.ids
+
+
+def test_native_train_loader(tmp_path):
+    """NativeTrainLoader: C++ decode owns the train host stage when the live
+    pipeline is plain letterbox; falls back to the PIL path per-epoch when a
+    hot-swap makes it non-letterbox; shuffles per epoch."""
+    from visiondk_tpu.data.datasets import ImageDatasets
+    from visiondk_tpu.data.class_augmenter import ClassWiseAugmenter
+    from visiondk_tpu.data.loader import NativeTrainLoader
+    from visiondk_tpu.data.transforms import create_aug_transforms
+
+    rng = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        d = tmp_path / "train" / cls
+        d.mkdir(parents=True)
+        for i in range(6):
+            Image.fromarray(rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)).save(
+                d / f"{i}.png"
+            )
+
+    letterbox = create_aug_transforms(
+        [{"resize_and_padding": {"size": 32}}, {"to_tensor": "no_params"}]
+    )
+    ds = ImageDatasets(str(tmp_path), "train",
+                       transforms=ClassWiseAugmenter(letterbox, None, None))
+    loader = NativeTrainLoader(ds, batch_size=4, seed=0, num_workers=2)
+    assert len(loader) == 3
+
+    loader.set_epoch(0)
+    b0 = list(loader)
+    assert len(b0) == 3
+    assert b0[0]["image"].shape == (4, 32, 32, 3)
+    assert b0[0]["image"].dtype == np.uint8
+    assert b0[0]["label"].dtype == np.int32
+
+    # epoch-seeded shuffle: different epoch → different batch order
+    loader.set_epoch(1)
+    b1 = list(loader)
+    assert not all(
+        np.array_equal(x["image"], y["image"]) for x, y in zip(b0, b1)
+    )
+    # determinism: same epoch → identical batches
+    loader.set_epoch(0)
+    b0b = list(loader)
+    assert all(np.array_equal(x["image"], y["image"]) for x, y in zip(b0, b0b))
+    assert all(np.array_equal(x["label"], y["label"]) for x, y in zip(b0, b0b))
+
+    # hot-swap to a non-letterbox pipeline → PIL fallback epoch, same contract
+    ds.transforms = ClassWiseAugmenter(
+        create_aug_transforms(
+            [{"random_crop_and_resize": {"size": 32}}, {"to_tensor": "no_params"}]
+        ),
+        None, None,
+    )
+    loader.set_epoch(2)
+    fb = list(loader)
+    assert len(fb) == 3 and fb[0]["image"].shape == (4, 32, 32, 3)
+
+
+def test_dataprocessor_picks_native_train_loader(tmp_path):
+    """SmartDataProcessor returns the native train loader for a local
+    letterbox config (post device-augment split)."""
+    from visiondk_tpu.data.dataprocessor import SmartDataProcessor
+    from visiondk_tpu.data.loader import NativeTrainLoader
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        for cls in ("a", "b"):
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            for i in range(4):
+                Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+                    d / f"{i}.png"
+                )
+    cfg = {
+        "root": str(tmp_path),
+        "train": {
+            "bs": 4,
+            "augment": [
+                {"random_color_jitter": {"brightness": 0.2}},  # lifts to device
+                {"resize_and_padding": {"size": 32}},
+                "to_tensor",
+            ],
+        },
+        "val": {"bs": 4, "augment": [{"resize_and_padding": {"size": 32}}, "to_tensor"]},
+    }
+    dp = SmartDataProcessor(cfg, project=str(tmp_path / "run"))
+    assert dp.device_augment_cfg  # photometric op lifted off the host
+    loader = dp.dataloader("train", 4)
+    assert isinstance(loader, NativeTrainLoader)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (4, 32, 32, 3)

@@ -298,3 +298,92 @@ def test_accumulate_schedule_calibration():
     np.testing.assert_allclose(
         float(cp._lr_fn(100)), float(ref(jnp.float32(10.0))), rtol=1e-6
     )
+
+
+def test_sam_local_perturb_m_sharpness(mesh8):
+    """SAM per-device first-grad parity (reference train.py:157-159: first
+    backward under model.no_sync() → per-rank ε; second backward DDP-averaged).
+    On the 8-device mesh: (a) the local-ε step matches a hand-computed
+    per-shard two-pass exactly, (b) it differs from the global-ε step."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from visiondk_tpu.engine.optim import SAMConfig, sam_perturb
+    from visiondk_tpu.engine.state import create_train_state
+    from visiondk_tpu.engine.steps import (
+        StepConfig, device_preprocess, make_train_step,
+    )
+    from visiondk_tpu.losses import create_lossfn
+    from visiondk_tpu.parallel.mesh import set_current_mesh
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(4, dtype=jnp.float32)(x.mean(axis=(1, 2)))
+
+    model = Tiny()
+    rng = jax.random.key(0)
+    x = jnp.zeros((16, 8, 8, 3), jnp.float32)
+    variables = model.init({"params": rng}, x, train=False)
+    lossfn = create_lossfn("ce")
+    lr = 0.1
+    tx = optax.sgd(lr)
+    cfg_local = StepConfig(sam=SAMConfig(rho=0.05, adaptive=True, local_perturb=True))
+    cfg_global = StepConfig(sam=SAMConfig(rho=0.05, adaptive=True, local_perturb=False))
+
+    data = np.random.default_rng(0)
+    images = data.integers(0, 255, (16, 8, 8, 3)).astype(np.uint8)
+    labels = data.integers(0, 4, (16,)).astype(np.int32)
+    batch = {"image": jnp.asarray(images), "label": jnp.asarray(labels)}
+
+    set_current_mesh(mesh8.mesh)  # published at build time → local path active
+    step_local = make_train_step(model, tx, lossfn, cfg_local, jax.random.key(1), donate=False)
+    step_global = make_train_step(model, tx, lossfn, cfg_global, jax.random.key(1), donate=False)
+    state = create_train_state(variables, tx)
+    s_local, m_local = step_local(state, batch, jnp.float32(0.0))
+    s_global, m_global = step_global(state, batch, jnp.float32(0.0))
+    set_current_mesh(None)
+
+    # (b) per-device ε ≠ global ε → different updates
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s_local.params, s_global.params
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 1e-7, d
+
+    # (a) hand-computed per-shard two-pass (8 shards × 2 samples)
+    ims = device_preprocess(batch["image"], cfg_local.mean, cfg_local.std)
+
+    def loss_of(params, imgs, labs):
+        return lossfn(model.apply({"params": params}, imgs, train=True), labs, None)
+
+    shard_grads = []
+    for s in range(8):
+        sl = slice(2 * s, 2 * s + 2)
+        g1 = jax.grad(loss_of)(state.params, ims[sl], batch["label"][sl])
+        perturbed = sam_perturb(state.params, g1, cfg_local.sam)
+        g2 = jax.grad(loss_of)(perturbed, ims[sl], batch["label"][sl])
+        shard_grads.append(g2)
+    mean_g2 = jax.tree_util.tree_map(
+        lambda *gs: sum(gs) / len(gs), *shard_grads
+    )
+    expect = jax.tree_util.tree_map(lambda p, g: p - lr * g, state.params, mean_g2)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+        ),
+        s_local.params, expect,
+    )
+
+    # the global-ε step matches the single-perturbation math
+    g1 = jax.grad(loss_of)(state.params, ims, batch["label"])
+    perturbed = sam_perturb(state.params, g1, cfg_global.sam)
+    g2 = jax.grad(loss_of)(perturbed, ims, batch["label"])
+    expect_g = jax.tree_util.tree_map(lambda p, g: p - lr * g, state.params, g2)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+        ),
+        s_global.params, expect_g,
+    )

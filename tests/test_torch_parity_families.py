@@ -937,3 +937,266 @@ def test_pos_embed_resize_on_merge():
     expect = resize_pos_embed(src, 5)
     np.testing.assert_allclose(got, expect, rtol=1e-6)
     assert not np.allclose(got[:, 1:], 0.0)
+
+
+# ----------------------------------------------------- tf_same (TF-origin)
+
+
+class _Conv2dSame(tnn.Conv2d):
+    """timm Conv2dSame: asymmetric F.pad (extra pixel bottom/right) + valid
+    conv — the geometry every tf_* checkpoint was trained with."""
+
+    def forward(self, x):
+        ih, iw = x.shape[-2:]
+        kh, kw = self.weight.shape[-2:]
+        sh, sw = self.stride
+        ph = max((-(-ih // sh) - 1) * sh + kh - ih, 0)
+        pw = max((-(-iw // sw) - 1) * sw + kw - iw, 0)
+        x = F.pad(x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2])
+        return F.conv2d(x, self.weight, self.bias, self.stride, 0,
+                        self.dilation, self.groups)
+
+
+def _boost_bn(model: "tnn.Module", seed: int) -> None:
+    """_randomize's 0.1-scale BN weights attenuate a border-pixel padding
+    difference ~10× per BN layer — after a few blocks the tf-vs-symmetric
+    padding signal drops below the logit tolerance and the golden can't
+    discriminate. O(1) BN scales/vars keep the padding path observable."""
+    gen = torch.Generator().manual_seed(seed)
+    for mod in model.modules():
+        if isinstance(mod, tnn.BatchNorm2d):
+            with torch.no_grad():
+                mod.weight.copy_(1.0 + 0.1 * torch.randn(mod.weight.shape, generator=gen))
+                mod.running_var.copy_(1.0 + 0.1 * torch.rand(mod.running_var.shape, generator=gen))
+
+
+class _TimmIRSame(tnn.Module):
+    """tf_ InvertedResidual: Conv2dSame depthwise, BN eps 1e-3, relu."""
+
+    def __init__(self, ch, mid, out, k, s, eps=1e-3):
+        super().__init__()
+        self.conv_pw = tnn.Conv2d(ch, mid, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(mid, eps=eps)
+        self.act1 = tnn.ReLU()
+        self.conv_dw = _Conv2dSame(mid, mid, k, s, 0, groups=mid, bias=False)
+        self.bn2 = tnn.BatchNorm2d(mid, eps=eps)
+        self.act2 = tnn.ReLU()
+        self.conv_pwl = tnn.Conv2d(mid, out, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(out, eps=eps)
+        self.residual = s == 1 and ch == out
+
+    def forward(self, x):
+        y = self.act1(self.bn1(self.conv_pw(x)))
+        y = self.act2(self.bn2(self.conv_dw(y)))
+        y = self.bn3(self.conv_pwl(y))
+        return x + y if self.residual else y
+
+
+class _TimmMNV3MinimalTF(tnn.Module):
+    """tf_mobilenetv3_*_minimal-shaped tiny net: TF-SAME strided convs, no
+    SE, relu everywhere, BN eps 1e-3 (timm _gen_mobilenet_v3 'minimal' +
+    'tf_' pad/eps config)."""
+
+    def __init__(self, num_classes=5, eps=1e-3):
+        super().__init__()
+        self.conv_stem = _Conv2dSame(3, 16, 3, 2, 0, bias=False)
+        self.bn1 = tnn.BatchNorm2d(16, eps=eps)
+        self.act1 = tnn.ReLU()
+
+        class _DS(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_dw = tnn.Conv2d(16, 16, 3, 1, 1, groups=16, bias=False)
+                self.bn1 = tnn.BatchNorm2d(16, eps=eps)
+                self.act1 = tnn.ReLU()
+                self.conv_pw = tnn.Conv2d(16, 16, 1, bias=False)
+                self.bn2 = tnn.BatchNorm2d(16, eps=eps)
+
+            def forward(self, x):
+                return x + self.bn2(self.conv_pw(self.act1(self.bn1(self.conv_dw(x)))))
+
+        class _CBA(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv = tnn.Conv2d(24, 64, 1, 1, 0, bias=False)
+                self.bn1 = tnn.BatchNorm2d(64, eps=eps)
+                self.act1 = tnn.ReLU()
+
+            def forward(self, x):
+                return self.act1(self.bn1(self.conv(x)))
+
+        self.blocks = tnn.Sequential(
+            tnn.Sequential(_DS()),
+            tnn.Sequential(
+                _TimmIRSame(16, 32, 24, 3, 2, eps=eps),
+                _TimmIRSame(24, 48, 24, 3, 1, eps=eps),
+            ),
+            tnn.Sequential(_CBA()),
+        )
+        self.conv_head = tnn.Conv2d(64, 96, 1, bias=True)
+        self.act2 = tnn.ReLU()
+        self.classifier = tnn.Linear(96, num_classes)
+
+    def forward(self, x):
+        x = self.blocks(self.act1(self.bn1(self.conv_stem(x))))
+        x = x.mean((2, 3), keepdim=True)
+        x = self.act2(self.conv_head(x)).flatten(1)
+        return self.classifier(x)
+
+
+def test_tf_mobilenetv3_minimal_converted_matches_torch_logits():
+    """tf_ import parity (VERDICT round-4 item 4): the tf_same flax model
+    reproduces torch logits computed with timm Conv2dSame geometry; the
+    symmetric-padding model does NOT (proving the padding path is live)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.backbones.mobilenet import MobileNetV3
+    from visiondk_tpu.models.convert import convert_state_dict, merge_converted
+
+    tmodel = _TimmMNV3MinimalTF()
+    _randomize(tmodel, seed=60)
+    _boost_bn(tmodel, seed=62)
+    tmodel.eval()
+    # even spatial size → stride-2 TF-SAME pads (0,1): the asymmetric case
+    x = 0.5 * np.random.default_rng(61).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        golden = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    blocks = (
+        (3, 16, 16, False, False, 1),
+        (3, 32, 24, False, False, 2),
+        (3, 48, 24, False, False, 1),
+    )
+    converted = convert_state_dict(
+        tmodel.state_dict(), "timm-tf_mobilenetv3_large_minimal_100.in1k"
+    )
+    n_torch = _n_learned(tmodel.state_dict())
+    assert sum(len(v) for v in converted.values()) == n_torch
+
+    model = MobileNetV3(
+        blocks=blocks, last_exp=64, head_width=96, num_classes=5,
+        tf_same=True, bn_eps=1e-3, relu_act=True,
+    )
+    variables = model.init({"params": jax.random.key(0)}, jnp.asarray(x), train=False)
+    params, bstats = merge_converted(
+        variables["params"], variables["batch_stats"], converted
+    )
+    _assert_logits_match(model, {"params": params, "batch_stats": bstats}, x, golden)
+
+    # teeth: symmetric padding (non-tf) must NOT reproduce the tf golden
+    sym = MobileNetV3(
+        blocks=blocks, last_exp=64, head_width=96, num_classes=5,
+        bn_eps=1e-3, relu_act=True,
+    )
+    sv = sym.init({"params": jax.random.key(0)}, jnp.asarray(x), train=False)
+    sp, sb = merge_converted(sv["params"], sv["batch_stats"], converted)
+    sym_logits = sym.apply({"params": sp, "batch_stats": sb}, jnp.asarray(x), train=False)
+    # beyond the golden tolerance (3e-4): symmetric padding would FAIL the
+    # match that tf_same passes at ~1e-7
+    assert np.abs(np.asarray(sym_logits) - golden).max() > 3e-4
+
+
+class _TimmEffV2TF(tnn.Module):
+    """tf_efficientnetv2-shaped tiny net: Conv2dSame on strided convs,
+    BN eps 1e-3, SiLU."""
+
+    def __init__(self, num_classes=5, eps=1e-3):
+        super().__init__()
+        self.conv_stem = _Conv2dSame(3, 8, 3, 2, 0, bias=False)
+        self.bn1 = tnn.BatchNorm2d(8, eps=eps)
+        self.act1 = tnn.SiLU()
+
+        class _EdgeSame(tnn.Module):
+            def __init__(self, ch, mid, out, k, s):
+                super().__init__()
+                self.conv_exp = _Conv2dSame(ch, mid, k, s, 0, bias=False)
+                self.bn1 = tnn.BatchNorm2d(mid, eps=eps)
+                self.act1 = tnn.SiLU()
+                self.conv_pwl = tnn.Conv2d(mid, out, 1, bias=False)
+                self.bn2 = tnn.BatchNorm2d(out, eps=eps)
+                self.residual = s == 1 and ch == out
+
+            def forward(self, x):
+                y = self.bn2(self.conv_pwl(self.act1(self.bn1(self.conv_exp(x)))))
+                return x + y if self.residual else y
+
+        class _IRSame(tnn.Module):
+            def __init__(self, ch, mid, out, k, s, se_rd):
+                super().__init__()
+                self.conv_pw = tnn.Conv2d(ch, mid, 1, bias=False)
+                self.bn1 = tnn.BatchNorm2d(mid, eps=eps)
+                self.act1 = tnn.SiLU()
+                self.conv_dw = _Conv2dSame(mid, mid, k, s, 0, groups=mid, bias=False)
+                self.bn2 = tnn.BatchNorm2d(mid, eps=eps)
+                self.act2 = tnn.SiLU()
+                self.se = _TimmSE(mid, se_rd, act=tnn.SiLU, gate=torch.sigmoid)
+                self.conv_pwl = tnn.Conv2d(mid, out, 1, bias=False)
+                self.bn3 = tnn.BatchNorm2d(out, eps=eps)
+                self.residual = s == 1 and ch == out
+
+            def forward(self, x):
+                y = self.act1(self.bn1(self.conv_pw(x)))
+                y = self.se(self.act2(self.bn2(self.conv_dw(y))))
+                y = self.bn3(self.conv_pwl(y))
+                return x + y if self.residual else y
+
+        class _CBA(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv = tnn.Conv2d(8, 8, 3, 1, 1, bias=False)
+                self.bn1 = tnn.BatchNorm2d(8, eps=eps)
+                self.act1 = tnn.SiLU()
+
+            def forward(self, x):
+                return self.act1(self.bn1(self.conv(x)))
+
+        self.blocks = tnn.Sequential(
+            tnn.Sequential(_CBA()),
+            tnn.Sequential(_EdgeSame(8, 32, 32, 3, 2)),
+            tnn.Sequential(
+                _IRSame(32, 64, 32, 3, 2, 8),
+                _IRSame(32, 64, 32, 3, 1, 8),
+            ),
+        )
+        self.conv_head = tnn.Conv2d(32, 48, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(48, eps=eps)
+        self.act2 = tnn.SiLU()
+        self.classifier = tnn.Linear(48, num_classes)
+
+    def forward(self, x):
+        x = self.blocks(self.act1(self.bn1(self.conv_stem(x))))
+        x = self.act2(self.bn2(self.conv_head(x))).mean((2, 3))
+        return self.classifier(x)
+
+
+def test_tf_efficientnetv2_converted_matches_torch_logits():
+    import jax
+    import jax.numpy as jnp
+
+    from visiondk_tpu.models.backbones.efficientnet import EfficientNetV2
+    from visiondk_tpu.models.convert import convert_state_dict, merge_converted
+
+    tmodel = _TimmEffV2TF()
+    _randomize(tmodel, seed=70)
+    _boost_bn(tmodel, seed=72)
+    tmodel.eval()
+    x = 0.5 * np.random.default_rng(71).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        golden = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    model = EfficientNetV2(
+        stages=(
+            ("fused", 1, 3, 1, 1, 8),
+            ("fused", 1, 3, 2, 4, 32),
+            ("mb", 2, 3, 2, 2, 32),
+        ),
+        stem_ch=8, head_ch=48, num_classes=5, tf_same=True, bn_eps=1e-3,
+    )
+    variables = model.init({"params": jax.random.key(0)}, jnp.asarray(x), train=False)
+    converted = convert_state_dict(tmodel.state_dict(), "tf_efficientnetv2_l")
+    assert sum(len(v) for v in converted.values()) == _n_learned(tmodel.state_dict())
+    params, bstats = merge_converted(
+        variables["params"], variables["batch_stats"], converted
+    )
+    _assert_logits_match(model, {"params": params, "batch_stats": bstats}, x, golden)

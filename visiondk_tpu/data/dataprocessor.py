@@ -34,14 +34,37 @@ class SmartDataProcessor:
         self.root = data_cfg["root"]
         self.project = project
 
-        train_aug = create_aug_transforms(data_cfg["train"]["augment"])
-        val_aug = create_aug_transforms(data_cfg["val"]["augment"])
-        self.train_pipeline_cfg = data_cfg["train"]["augment"]
-        self.val_pipeline_cfg = data_cfg["val"]["augment"]
-        self.normalization = extract_normalization(train_aug)
-
         class_aug_cfg = data_cfg["train"].get("class_aug") or None
         base_aug_cfg = data_cfg["train"].get("base_aug") or data_cfg["train"].get("common_aug")
+
+        # device augment split (ops/device_augment): lift per-pixel randomized
+        # ops onto the TPU; the host pipeline keeps decode + geometry. Opt-out
+        # via data.train.device_augment: false. Class-wise pipelines stay
+        # host-only (the device stage is class-agnostic).
+        self.device_augment_cfg: list = []
+        full_train_cfg = data_cfg["train"]["augment"]
+        dev_mode = data_cfg["train"].get("device_augment", "auto")
+        if (
+            training
+            and dev_mode not in (False, "off", "false")
+            and class_aug_cfg is None
+            and base_aug_cfg is None
+        ):
+            from visiondk_tpu.ops.device_augment import split_device_pipeline
+
+            host_cfg, device_cfg = split_device_pipeline(full_train_cfg)
+            if device_cfg:
+                self.device_augment_cfg = device_cfg
+                full_train_cfg = host_cfg
+
+        train_aug = create_aug_transforms(full_train_cfg)
+        val_aug = create_aug_transforms(data_cfg["val"]["augment"])
+        # the HOST part: restore_train_augment() / progressive resize rebuild
+        # from this; the lifted device part lives in device_augment_cfg
+        self.train_pipeline_cfg = full_train_cfg
+        self.val_pipeline_cfg = data_cfg["val"]["augment"]
+        # normalize is a marker and never lifts — still present in the host cfg
+        self.normalization = extract_normalization(train_aug)
 
         self.train_dataset = ImageDatasets(
             self.root, "train",
@@ -150,6 +173,40 @@ class SmartDataProcessor:
 
         return _LabeledAdapter()
 
+    def _native_train_loader(
+        self, batch_size, num_workers, seed, process_index, process_count
+    ):
+        """C++ decode fast path for the TRAIN loader: local file-path dataset
+        whose (post-device-split) host pipeline is plain letterbox — the
+        native pool then owns the whole host stage (NativeTrainLoader falls
+        back to the PIL path per-epoch whenever a hot-swap makes the live
+        pipeline non-letterbox)."""
+        ds = self.train_dataset
+        if ds is None or not len(ds):
+            return None
+        if getattr(ds, "_hf_dataset", None) is not None or not isinstance(
+            ds.images[0], str
+        ):
+            return None
+        try:
+            from visiondk_tpu.data.loader import NativeTrainLoader
+            from visiondk_tpu.data.native import native_available
+            from visiondk_tpu.data.transforms import is_plain_letterbox
+
+            if not native_available():
+                return None
+            base = getattr(ds.transforms, "base_transforms", ds.transforms)
+            if getattr(ds.transforms, "class_transforms", None):
+                return None
+            if is_plain_letterbox(base) is None:
+                return None
+            return NativeTrainLoader(
+                ds, batch_size, seed=seed, num_workers=num_workers or 8,
+                process_index=process_index, process_count=process_count,
+            )
+        except Exception:
+            return None
+
     def dataloader(
         self,
         mode: str,
@@ -166,6 +223,19 @@ class SmartDataProcessor:
         if not train:
             native = self._native_val_loader(batch_size)
             if native is not None:
+                return native
+        if train:
+            native = self._native_train_loader(
+                batch_size, num_workers, seed, process_index, process_count
+            )
+            if native is not None:
+                if len(native) == 0:
+                    raise ValueError(
+                        f"train dataloader is empty: {len(self.train_dataset)} "
+                        f"samples yield 0 complete batches at "
+                        f"data.train.bs={batch_size} (drop_last, "
+                        f"{process_count} process(es))."
+                    )
                 return native
         loader = DataLoader(
             self.train_dataset if train else self.val_dataset,

@@ -201,6 +201,41 @@ class ImageDatasets:
         return list(counts.items())
 
 
+def tell_data_distribution(
+    datasets: Dict[str, "ImageDatasets"],
+) -> Tuple[List[Tuple[str, Dict[str, int]]], str]:
+    """Combined per-class train AND val distribution table (reference
+    tell_data_distribution covers both splits, basedataset.py:256-306).
+
+    ``datasets`` maps split name ('train'/'val') → dataset (val may be
+    absent/None). Returns (rows sorted by class, rendered text table with a
+    totals row).
+    """
+    splits = [(k, d) for k, d in datasets.items() if d is not None]
+    dist: Dict[str, Dict[str, int]] = {}
+    for split, ds in splits:
+        for cls, n in ds.tell_data_distribution():
+            dist.setdefault(cls, {s: 0 for s, _ in splits})[split] += n
+    rows = sorted(dist.items())
+    headers = ["Class"] + [f"{s.capitalize()} Samples" for s, _ in splits]
+    table_rows = [
+        [cls] + [str(counts.get(s, 0)) for s, _ in splits] for cls, counts in rows
+    ]
+    table_rows.append(
+        ["total"]
+        + [str(sum(c.get(s, 0) for _, c in rows)) for s, _ in splits]
+    )
+    widths = [
+        max(len(headers[i]), *(len(r[i]) for r in table_rows))
+        for i in range(len(headers))
+    ]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    def fmt(cells):
+        return "| " + " | ".join(c.ljust(w) for c, w in zip(cells, widths)) + " |"
+    lines = [sep, fmt(headers), sep] + [fmt(r) for r in table_rows] + [sep]
+    return rows, "\n".join(lines)
+
+
 class PredictImageDatasets:
     """Inference dataset over a directory tree / CSV / HF set
     (reference basedataset.py:309-461): returns (uint8 array, path)."""

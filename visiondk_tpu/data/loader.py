@@ -152,6 +152,128 @@ class DataLoader:
         return self.pad_batch(batch, len(samples))
 
 
+class NativeTrainLoader:
+    """Train loader over file paths using the C++ decode pool
+    (csrc/dataloader): once the device-augment split leaves the host stage as
+    plain letterbox (transforms.is_plain_letterbox), the WHOLE host pipeline
+    is one GIL-free native call per batch.
+
+    DataLoader-contract parity: epoch-seeded shuffle (``set_epoch``),
+    drop_last static batches, multi-host index sharding, background prefetch.
+    The letterbox size is re-read from the live dataset pipeline at each
+    ``__iter__`` (progressive resize / warmup hot-swaps rebuild the pipeline);
+    if the pipeline stops being plain letterbox for an epoch, that epoch
+    falls back to the PIL DataLoader transparently.
+    """
+
+    shuffle = True
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.epoch = 0
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        self._decoder = None
+        self._decoder_size = None
+        self._fallback = DataLoader(
+            dataset, batch_size, shuffle=True, drop_last=True,
+            num_workers=num_workers, prefetch=prefetch, seed=seed,
+            process_index=process_index, process_count=process_count,
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        self._fallback.set_epoch(epoch)
+
+    def _indices(self) -> np.ndarray:
+        return DataLoader._indices(self)  # same shuffle/shard contract
+
+    def __len__(self) -> int:
+        return len(self._indices()) // self.batch_size
+
+    def _current_letterbox_size(self) -> Optional[int]:
+        from visiondk_tpu.data.transforms import is_plain_letterbox
+
+        base = getattr(self.dataset.transforms, "base_transforms", self.dataset.transforms)
+        if getattr(self.dataset.transforms, "class_transforms", None):
+            return None
+        return is_plain_letterbox(base)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        size = self._current_letterbox_size()
+        if size is None:
+            yield from self._fallback
+            return
+        if self._decoder is None or self._decoder_size != size:
+            from visiondk_tpu.data.native import NativeDecoder
+
+            self._decoder = NativeDecoder(size, size, threads=self.num_workers)
+            self._decoder_size = size
+
+        indices = self._indices()
+        n_batches = len(self)
+        ds = self.dataset
+        label_tf = getattr(ds, "label_transforms", None)
+
+        def make_batch(b: int) -> Dict[str, np.ndarray]:
+            batch_idx = indices[b * self.batch_size : (b + 1) * self.batch_size]
+            paths = [ds.images[int(i)] for i in batch_idx]
+            labels = [ds.labels[int(i)] for i in batch_idx]
+            images, ok = self._decoder.decode_batch(paths)
+            if not ok.all():
+                good = np.flatnonzero(ok)
+                if good.size == 0:
+                    raise OSError(f"native decode failed for a whole batch: {paths[:3]}...")
+                # corrupt-image substitution (DataLoader retries a random
+                # index; here: replace with a valid row, image AND label)
+                for bad in np.flatnonzero(~ok):
+                    src = int(good[bad % good.size])
+                    images[bad] = images[src]
+                    labels[bad] = labels[src]
+            if label_tf is not None:
+                labels = [label_tf(l) for l in labels]
+            return {"image": images, "label": _stack_labels(labels)}
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    out_q.put(make_batch(b))
+                out_q.put(None)
+            except BaseException as e:  # surface decode errors in the consumer
+                out_q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
 class NativeEvalLoader:
     """Deterministic eval/extraction loader over file paths using the C++
     decode pipeline (csrc/dataloader): decode+letterbox a whole batch in one

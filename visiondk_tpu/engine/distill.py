@@ -51,14 +51,21 @@ def make_distill_step(
     cls_weight: float = 0.5,
     kl_weight: float = 0.5,
     temperature: float = 4.0,
+    device_augment: Optional[Callable] = None,
 ) -> Callable:
     """step(state, batch, lam) -> (state, metrics) — signature-compatible with
-    make_train_step so the trainer loop can swap it in."""
+    make_train_step so the trainer loop can swap it in. ``device_augment``
+    runs before preprocessing, so teacher and student see the SAME augmented
+    batch (matching host-side augmentation semantics)."""
 
     def step_fn(state: TrainState, batch: Dict[str, Array], lam: Array):
-        images = device_preprocess(batch["image"], cfg.mean, cfg.std)
-        labels = batch["label"]
         rng = jax.random.fold_in(base_rng, state.step)
+        raw = batch["image"]
+        if device_augment is not None:
+            # independent stream; the dropout stream stays as pre-round-4
+            raw = device_augment(jax.random.fold_in(rng, 2), raw)
+        images = device_preprocess(raw, cfg.mean, cfg.std)
+        labels = batch["label"]
         rngs = {"dropout": rng}
 
         t_logits = jax.lax.stop_gradient(
@@ -207,7 +214,7 @@ class DistillCenterProcessor(CenterProcessor):
                 "batch_stats": variables.get("batch_stats", {}),
             }
 
-    def _get_train_step(self, tx, key, lossfn, mixup: bool):
+    def _get_train_step(self, tx, key, lossfn, mixup: bool, device_aug: bool = False):
         key = ("distill", key)
         if key not in self._step_cache:
             cfg = StepConfig(
@@ -226,5 +233,6 @@ class DistillCenterProcessor(CenterProcessor):
                 cls_weight=self.cls_weight,
                 kl_weight=self.kl_weight,
                 temperature=self.temperature,
+                device_augment=self.device_augment_fn if device_aug else None,
             )
         return self._step_cache[key]

@@ -42,6 +42,12 @@ GRAD_CLIP_NORM = 10.0
 class SAMConfig:
     rho: float = 0.05
     adaptive: bool = True
+    # m-sharpness: compute the FIRST (perturbation) gradient per device shard
+    # without cross-device averaging — exact parity with the reference's
+    # `model.no_sync()` first backward (engine/procedure/train.py:157-159);
+    # the second (update) gradient is always globally averaged. False reverts
+    # to the pre-round-4 global-ε behaviour (hyp: sam_local_perturb: false).
+    local_perturb: bool = True
 
 
 @OPTIMIZER.register(name="sgd")

@@ -87,6 +87,74 @@ def ohem_mask(logits: Array, labels: Array, cfg: OHEMConfig) -> Array:
     return (valid_ignore & (tp < threshold)).astype(jnp.float32)
 
 
+def _sam_local_grads(
+    model_loss: Callable,
+    mesh,
+    sam_cfg: SAMConfig,
+    params,
+    batch_stats,
+    images: Array,
+    labels: Array,
+    labels_b: Array,
+    lam: Array,
+    sw: Optional[Array],
+    dropout_key: Array,
+):
+    """SAM two-pass with PER-DEVICE perturbation (m-sharpness parity with the
+    reference's no-sync first backward, train.py:157-159, optimizer.py:44-67):
+
+        shard_map over 'data':
+          g1    = local grad (no psum)        ← reference first backward
+          w+ε   = sam_perturb(params, g1)     ← per-device ε
+          g2    = local grad at w+ε, pmean'd  ← reference second backward (DDP)
+
+    BN running-stat updates are taken from the clean pass and pmean'd across
+    shards (per-shard moments averaged — matching the framework's SyncBN
+    stance at the first-moment level; the reference's default DDP BN is fully
+    per-rank). Returns (loss, new_batch_stats, grads) — all replicated.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from visiondk_tpu.parallel.mesh import with_current_mesh
+
+    has_sw = sw is not None
+
+    def body(params, batch_stats, images, labels, labels_b, lam, sw_arg, key):
+        # per-shard dropout stream (DDP ranks have independent seeds)
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        rngs = {"dropout": key}
+        sw_l = sw_arg if has_sw else None
+
+        def local_loss(p, mutable):
+            # inside the manual region the batch is already per-shard: the
+            # fused pallas kernels must run unwrapped (their own shard_map
+            # would nest over an in-scope axis)
+            with with_current_mesh(None):
+                return model_loss(
+                    p, batch_stats, images, labels, labels_b, lam, sw_l, rngs, mutable
+                )
+
+        (loss, new_bs), g1 = jax.value_and_grad(local_loss, has_aux=True)(params, True)
+        perturbed = sam_perturb(params, g1, sam_cfg)
+        (_, _), g2 = jax.value_and_grad(local_loss, has_aux=True)(perturbed, True)
+        pm = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.lax.pmean(x, "data"), t
+        )
+        return pm(loss), pm(new_bs), pm(g2)
+
+    sw_arg = sw if has_sw else jnp.zeros((images.shape[0],), jnp.float32)
+    data_spec = P("data")
+    rep = P()
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep, rep, data_spec, data_spec, data_spec, rep, data_spec, rep),
+        out_specs=(rep, rep, rep),
+        check_vma=False,
+    )(params, batch_stats, images, labels, labels_b, lam, sw_arg, dropout_key)
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -94,11 +162,15 @@ def make_train_step(
     cfg: StepConfig,
     base_rng: Array,
     donate: bool = True,
+    device_augment: Optional[Callable] = None,
 ) -> Callable:
     """Build step(state, batch, lam) -> (state, metrics).
 
     ``batch`` = {'image': uint8/f32 [B,H,W,3], 'label': int [B] or f32 [B,C]}.
     ``lam``   = mixup lambda (traced; only used when cfg.mixup).
+    ``device_augment`` = optional jitted uint8 batch augmentation stage
+    (ops/device_augment.make_device_augment), keyed by fold_in(rng, step) and
+    fused ahead of normalize — the host keeps decode + geometry only.
     """
 
     def apply_model(params, batch_stats, images, labels, rngs, mutable):
@@ -118,51 +190,98 @@ def make_train_step(
             return y, new_state.get("batch_stats", {})
         return out, batch_stats
 
-    def compute_loss(params, batch_stats, images, labels, perm, lam, sw, rngs, mutable):
+    def compute_loss(params, batch_stats, images, labels, labels_b, lam, sw, rngs, mutable):
+        """``images`` arrive pre-mixed (mixing happens in step_fn so this body
+        is shard-local-safe: no cross-shard jnp.take inside the SAM-local
+        shard_map); ``labels_b`` is the permuted label set when cfg.mixup."""
         if cfg.task == "embedding":
             (logits, aux), new_bs = apply_model(params, batch_stats, images, labels, rngs, mutable)
             loss = lossfn(logits, labels, sw) + aux
         elif cfg.mixup:
-            mixed = lam * images + (1.0 - lam) * jnp.take(images, perm, axis=0)
-            logits, new_bs = apply_model(params, batch_stats, mixed, labels, rngs, mutable)
+            logits, new_bs = apply_model(params, batch_stats, images, labels, rngs, mutable)
             loss = lam * lossfn(logits, labels, sw) + (1.0 - lam) * lossfn(
-                logits, jnp.take(labels, perm, axis=0), sw
+                logits, labels_b, sw
             )
         else:
             logits, new_bs = apply_model(params, batch_stats, images, labels, rngs, mutable)
             loss = lossfn(logits, labels, sw)
         return loss, new_bs
 
+    # SAM m-sharpness (reference train.py:157-159: first backward under
+    # model.no_sync()): per-shard first grad → per-shard ε → globally averaged
+    # second grad. Decided at build time from the published mesh; pure-DP only
+    # (a 'model'-sharded margin head can't sit inside a data-only manual
+    # region).
+    sam_local_mesh = None
+    if cfg.sam is not None and cfg.sam.local_perturb:
+        from visiondk_tpu.parallel.mesh import current_mesh
+
+        _mesh = current_mesh()
+        if (
+            _mesh is not None
+            and dict(_mesh.shape).get("data", 1) > 1
+            and dict(_mesh.shape).get("model", 1) == 1
+        ):
+            sam_local_mesh = _mesh
+
     def step_fn(state: TrainState, batch: Dict[str, Array], lam: Array):
-        images = device_preprocess(batch["image"], cfg.mean, cfg.std)
+        rng = jax.random.fold_in(base_rng, state.step)
+        # 2-way split preserved for stream stability (tests pin the perm
+        # stream); the augment key is an independent fold_in off the same rng
+        rng_perm, rng_drop = jax.random.split(rng)
+        raw = batch["image"]
+        if device_augment is not None:
+            raw = device_augment(jax.random.fold_in(rng, 2), raw)
+        images = device_preprocess(raw, cfg.mean, cfg.std)
         labels = batch["label"]
 
-        rng = jax.random.fold_in(base_rng, state.step)
-        rng_perm, rng_drop = jax.random.split(rng)
         rngs = {"dropout": rng_drop}
         perm = jax.random.permutation(rng_perm, images.shape[0]) if cfg.mixup else None
 
         sw = None
         if cfg.ohem is not None:
+            # OHEM mask from the CLEAN images (reference filters pre-forward,
+            # train.py:114-117)
             pre_logits, _ = apply_model(
                 state.params, state.batch_stats, images, labels, rngs, mutable=False
             )
             sw = ohem_mask(jax.lax.stop_gradient(pre_logits), labels, cfg.ohem)
 
+        if cfg.mixup:
+            images_in = lam * images + (1.0 - lam) * jnp.take(images, perm, axis=0)
+            labels_b = jnp.take(labels, perm, axis=0)
+        else:
+            images_in, labels_b = images, labels
+
         grad_fn = jax.value_and_grad(
             lambda p, mutable: compute_loss(
-                p, state.batch_stats, images, labels, perm, lam, sw, rngs, mutable
+                p, state.batch_stats, images_in, labels, labels_b, lam, sw, rngs, mutable
             ),
             has_aux=True,
         )
-        (loss, new_bs), grads = grad_fn(state.params, True)
 
-        if cfg.sam is not None:
-            # Climb to w+e(w), recompute grads; the second pass's BN stat
-            # updates are discarded — running stats stay frozen at the clean
-            # pass's values (reference update_sam, train.py:161-173).
-            perturbed = sam_perturb(state.params, grads, cfg.sam)
-            (_, _), grads = grad_fn(perturbed, True)
+        if sam_local_mesh is not None:
+            loss, new_bs, grads = _sam_local_grads(
+                model_loss=compute_loss,
+                mesh=sam_local_mesh,
+                sam_cfg=cfg.sam,
+                params=state.params,
+                batch_stats=state.batch_stats,
+                images=images_in,
+                labels=labels,
+                labels_b=labels_b,
+                lam=lam,
+                sw=sw,
+                dropout_key=rng_drop,
+            )
+        else:
+            (loss, new_bs), grads = grad_fn(state.params, True)
+            if cfg.sam is not None:
+                # Climb to w+e(w), recompute grads; the second pass's BN stat
+                # updates are discarded — running stats stay frozen at the
+                # clean pass's values (reference update_sam, train.py:161-173).
+                perturbed = sam_perturb(state.params, grads, cfg.sam)
+                (_, _), grads = grad_fn(perturbed, True)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

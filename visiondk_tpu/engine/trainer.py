@@ -108,6 +108,27 @@ class CenterProcessor:
             self.data_cfg, project=str(self.project),
             rank_is_primary=primary, training=train, task=self.task,
         )
+        # device-side augmentation stage (ops/device_augment): the lifted
+        # per-pixel randomized ops run jitted on the batch inside the train
+        # step; active only in epochs where train augments are live
+        self.device_augment_fn = None
+        if train and self.data_processor.device_augment_cfg:
+            from visiondk_tpu.ops.device_augment import (
+                describe_split,
+                make_device_augment,
+            )
+
+            self.device_augment_fn = make_device_augment(
+                self.data_processor.device_augment_cfg
+            )
+            if primary:
+                self.logger.both(
+                    "device augment split — "
+                    + describe_split(
+                        self.data_processor.train_pipeline_cfg,
+                        self.data_processor.device_augment_cfg,
+                    )
+                )
         # final resize in the val pipeline wins (reference semantics); when the
         # pipeline has no spatial op (pre-sized data), model.image_size governs
         self.imgsz = (
@@ -172,9 +193,14 @@ class CenterProcessor:
             self.resize_chnodes = [warm_ep, warm_ep + s1, warm_ep + s1 + s2]
             mi = self.imgsz
             self.imgsz_milestone = [int(x) for x in np.linspace(int(mi * 0.5), mi, 3)]
-        # SAM
+        # SAM (hyp.sam_local_perturb: false reverts to global-ε m-sharpness,
+        # docs/PARITY.md "Known intentional differences" #1)
         opt_name = self.hyp_cfg["optimizer"][0]
-        self.sam_cfg = SAMConfig() if opt_name == "sam" else None
+        self.sam_cfg = (
+            SAMConfig(local_perturb=bool(self.hyp_cfg.get("sam_local_perturb", True)))
+            if opt_name == "sam"
+            else None
+        )
         self.opt_name = opt_name
         self.layer_wise = bool(self.hyp_cfg["optimizer"][1]) if isinstance(
             self.hyp_cfg["optimizer"], (list, tuple)
@@ -246,7 +272,9 @@ class CenterProcessor:
             tx = optax.MultiSteps(tx, every_k_schedule=accum)
         return tx
 
-    def _get_train_step(self, tx, key, lossfn, mixup: bool) -> Callable:
+    def _get_train_step(
+        self, tx, key, lossfn, mixup: bool, device_aug: bool = False
+    ) -> Callable:
         if key not in self._step_cache:
             cfg = StepConfig(
                 task="classification" if self.task == "classification" else "embedding",
@@ -260,7 +288,8 @@ class CenterProcessor:
                 std=self.data_processor.normalization[1],
             )
             self._step_cache[key] = make_train_step(
-                self.model, tx, lossfn, cfg, jax.random.key(self.seed + 1)
+                self.model, tx, lossfn, cfg, jax.random.key(self.seed + 1),
+                device_augment=self.device_augment_fn if device_aug else None,
             )
         return self._step_cache[key]
 
@@ -338,8 +367,18 @@ class CenterProcessor:
         steps_per_epoch = max(len(train_loader), 1)
 
         if primary:
-            dist = dp.train_dataset.tell_data_distribution()
-            logger.both({"data_distribution(train)": dict(dist)})
+            from visiondk_tpu.data.datasets import tell_data_distribution
+
+            # combined train+val table (reference basedataset.py:256-306);
+            # reference prints to console only for ≤50 classes
+            _, table = tell_data_distribution(
+                {"train": dp.train_dataset, "val": dp.val_dataset}
+            )
+            msg = "\n" + table
+            if self.model_cfg["num_classes"] <= 50:
+                logger.both(msg)
+            else:
+                logger.log(msg)
 
         tx = self._build_tx(steps_per_epoch, discrete_per_epoch=True)
         state = self._init_state(tx, (global_bs, self.imgsz, self.imgsz, 3))
@@ -389,8 +428,18 @@ class CenterProcessor:
             # -- strategy control (vision_engine.py:344-375)
             lossfn, mixup_active = self._epoch_strategy(epoch, lossfn, aug_epoch)
 
+            # device augments are live exactly when host train augments are:
+            # epochs [warm_ep, aug_epoch) — epoch 0..warm_ep uses val augments
+            # (reference warmup), aug_epoch onward is weakened to val augments
+            dev_aug = (
+                self.device_augment_fn is not None
+                and warm_ep <= epoch < aug_epoch
+            )
             loss_key = "focal" if (lossfn is self.focal_fn) else self.loss_choice
-            step = self._get_train_step(tx, (loss_key, mixup_active), lossfn, mixup_active)
+            step = self._get_train_step(
+                tx, (loss_key, mixup_active, dev_aug), lossfn, mixup_active,
+                device_aug=dev_aug,
+            )
 
             train_loader.set_epoch(epoch)
             epoch_t0 = time.time()
@@ -523,7 +572,13 @@ class CenterProcessor:
         if not resume and self.model_cfg.get("convert_npz"):
             state = self._apply_convert_npz(state, self.model_cfg["convert_npz"])
 
-        step = self._get_train_step(tx, ("embed", False), self.lossfn, mixup=False)
+        # embedding path has no warmup/weaken augment strategy (reference
+        # vision_engine.py:438-561): device augments are live every epoch
+        dev_aug = self.device_augment_fn is not None
+        step = self._get_train_step(
+            tx, ("embed", False, dev_aug), self.lossfn, mixup=False,
+            device_aug=dev_aug,
+        )
         loss_meter = AverageMeter()
         fitness_metrics: Dict[str, Any] = {}
 

@@ -15,7 +15,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from visiondk_tpu.models.backbones import BACKBONES
-from visiondk_tpu.models.backbones.mobilenet import SEBlock, _make_divisible
+from visiondk_tpu.models.backbones.mobilenet import (
+    SEBlock,
+    _conv_pad,
+    _make_divisible,
+)
 
 Array = jax.Array
 
@@ -26,12 +30,15 @@ class FusedMBConv(nn.Module):
     kernel: int
     stride: int
     bn_eval: bool = False
+    tf_same: bool = False
+    bn_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         norm = lambda name: nn.BatchNorm(
-            use_running_average=(not train) or self.bn_eval, momentum=0.9, dtype=self.dtype, name=name
+            use_running_average=(not train) or self.bn_eval, momentum=0.9,
+            epsilon=self.bn_eps, dtype=self.dtype, name=name
         )
         in_ch = x.shape[-1]
         mid = in_ch * self.expand
@@ -39,7 +46,8 @@ class FusedMBConv(nn.Module):
         if self.expand != 1:
             y = nn.Conv(
                 mid, (self.kernel, self.kernel), (self.stride, self.stride),
-                padding=self.kernel // 2, use_bias=False, dtype=self.dtype, name="expand",
+                padding=_conv_pad(self.tf_same, y, self.kernel, self.stride),
+                use_bias=False, dtype=self.dtype, name="expand",
             )(y)
             y = nn.silu(norm("bn_expand")(y))
             y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="project")(y)
@@ -47,7 +55,8 @@ class FusedMBConv(nn.Module):
         else:
             y = nn.Conv(
                 self.out_ch, (self.kernel, self.kernel), (self.stride, self.stride),
-                padding=self.kernel // 2, use_bias=False, dtype=self.dtype, name="project",
+                padding=_conv_pad(self.tf_same, y, self.kernel, self.stride),
+                use_bias=False, dtype=self.dtype, name="project",
             )(y)
             y = nn.silu(norm("bn_project")(y))
         if self.stride == 1 and in_ch == self.out_ch:
@@ -61,12 +70,15 @@ class MBConv(nn.Module):
     kernel: int
     stride: int
     bn_eval: bool = False
+    tf_same: bool = False
+    bn_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         norm = lambda name: nn.BatchNorm(
-            use_running_average=(not train) or self.bn_eval, momentum=0.9, dtype=self.dtype, name=name
+            use_running_average=(not train) or self.bn_eval, momentum=0.9,
+            epsilon=self.bn_eps, dtype=self.dtype, name=name
         )
         in_ch = x.shape[-1]
         mid = in_ch * self.expand
@@ -74,7 +86,8 @@ class MBConv(nn.Module):
         y = nn.silu(norm("bn_expand")(y))
         y = nn.Conv(
             mid, (self.kernel, self.kernel), (self.stride, self.stride),
-            padding=self.kernel // 2, feature_group_count=mid,
+            padding=_conv_pad(self.tf_same, y, self.kernel, self.stride),
+            feature_group_count=mid,
             use_bias=False, dtype=self.dtype, name="dw",
         )(y)
         y = nn.silu(norm("bn_dw")(y))
@@ -128,22 +141,27 @@ class EfficientNetV2(nn.Module):
     num_classes: int = 1000
     unpooled: bool = False
     bn_eval: bool = False
+    tf_same: bool = False  # tf_* variants: asymmetric TF-SAME conv padding
+    bn_eps: float = 1e-5   # tf_* checkpoints were trained at TF's 1e-3
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         norm = lambda name: nn.BatchNorm(
-            use_running_average=(not train) or self.bn_eval, momentum=0.9, dtype=self.dtype, name=name
+            use_running_average=(not train) or self.bn_eval, momentum=0.9,
+            epsilon=self.bn_eps, dtype=self.dtype, name=name
         )
         x = x.astype(self.dtype)
-        x = nn.Conv(self.stem_ch, (3, 3), (2, 2), padding=1, use_bias=False,
+        x = nn.Conv(self.stem_ch, (3, 3), (2, 2),
+                    padding=_conv_pad(self.tf_same, x, 3, 2), use_bias=False,
                     dtype=self.dtype, name="stem")(x)
         x = nn.silu(norm("stem_bn")(x))
         for si, (kind, reps, k, s, e, out) in enumerate(self.stages):
             for b in range(reps):
                 stride = s if b == 0 else 1
                 cls = FusedMBConv if kind == "fused" else MBConv
-                x = cls(out, e, k, stride, bn_eval=self.bn_eval, dtype=self.dtype,
+                x = cls(out, e, k, stride, bn_eval=self.bn_eval,
+                        tf_same=self.tf_same, bn_eps=self.bn_eps, dtype=self.dtype,
                         name=f"stage{si + 1}_block{b + 1}")(x, train=train)
         x = nn.Conv(self.head_ch, (1, 1), use_bias=False, dtype=self.dtype, name="head_conv")(x)
         x = nn.silu(norm("head_bn")(x))
@@ -155,11 +173,13 @@ class EfficientNetV2(nn.Module):
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(feats)
 
 
-def _effv2(stages, stem_ch):
+def _effv2(stages, stem_ch, **defaults):
     def factory(num_classes: int = 1000, dtype=jnp.float32, **kwargs):
+        cfg = dict(defaults)
+        cfg.update(kwargs)
         return EfficientNetV2(
             stages=tuple(stages), stem_ch=stem_ch,
-            num_classes=num_classes, dtype=dtype, **kwargs,
+            num_classes=num_classes, dtype=dtype, **cfg,
         )
 
     return factory
@@ -168,3 +188,11 @@ def _effv2(stages, stem_ch):
 BACKBONES.register(_effv2(_V2_S, 24), name="efficientnetv2_s")
 BACKBONES.register(_effv2(_V2_M, 24), name="efficientnetv2_m")
 BACKBONES.register(_effv2(_V2_L, 32), name="efficientnetv2_l")
+# TF-origin checkpoints (reference recommended list, pet.yaml:22:
+# timm-tf_efficientnetv2_l.in21k_ft_in1k): TF-SAME padding + BN eps 1e-3.
+BACKBONES.register(
+    _effv2(_V2_L, 32, tf_same=True, bn_eps=1e-3), name="tf_efficientnetv2_l"
+)
+BACKBONES.register(
+    _effv2(_V2_S, 24, tf_same=True, bn_eps=1e-3), name="tf_efficientnetv2_s"
+)

@@ -399,8 +399,8 @@ def convert_mobilenetv3(
     order. The final in-blocks ConvBnAct (blocks.{last} = the 960-ch 1×1)
     lands on head_conv/head_bn; timm's post-pool conv_head [1280,960,1,1]
     becomes the pre_head Dense. SE conv_reduce/conv_expand (1×1 convs) map to
-    our Dense fc1/fc2. Targets the non-tf layout (static same padding); tf_*
-    variants use asymmetric SAME padding our convs don't replicate."""
+    our Dense fc1/fc2. tf_* variants share these keys — their asymmetric
+    TF-SAME padding lives in the model (tf_same=True factories), not here."""
     out: Dict[str, Dict[str, np.ndarray]] = {"params": {}, "batch_stats": {}}
     sd = _SD(state_dict)
 
@@ -528,16 +528,11 @@ def convert_state_dict(
     if name.startswith("timm-"):
         name = name[len("timm-"):]
     if name.startswith("tf_"):
-        # tf_* checkpoints carry identical KEYS to the non-tf variants, so a
-        # strict conversion would 'succeed' — but they were trained with
-        # asymmetric TF-SAME conv padding our models don't implement
-        # (symmetric kernel//2): every stride-2 conv would compute shifted
-        # activations and accuracy silently degrades. Refuse instead.
-        raise ValueError(
-            f"{arch!r}: tf_* weights use asymmetric TF-SAME padding that this "
-            "zoo's convs do not replicate; import the non-tf_ variant of the "
-            "same architecture instead"
-        )
+        # tf_* checkpoints carry identical KEYS to the non-tf variants; the
+        # zoo's tf_ factories implement the matching asymmetric TF-SAME conv
+        # padding + BN eps 1e-3 (backbones/mobilenet.tf_same_padding), so the
+        # same converters apply. (Round-3 refused these; round-4 implements.)
+        name = name[len("tf_"):]
     for prefix, fn in CONVERTERS.items():
         if name.startswith(prefix) or (
             name.startswith(("resnext", "wide_resnet", "legacy_seresnet"))
