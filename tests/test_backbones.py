@@ -7,6 +7,13 @@ import pytest
 from visiondk_tpu.models.backbones import BACKBONES
 
 
+import pytest as _pytest_tier
+
+# multi-minute file (measured via --durations, docs/ROUND4.md): excluded
+# from the <5-min core gate (pytest -m "not slow")
+pytestmark = _pytest_tier.mark.slow
+
+
 def _size_for(name: str) -> int:
     """Smallest input each architecture admits: Swin needs the full pyramid
     (window 7 × 32x downsample → 224; SwinV2 window 8 → 256); ViT needs a

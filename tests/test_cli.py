@@ -15,6 +15,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from tests.test_e2e_classification import _cfgs, _make_dataset
 
 
+import pytest as _pytest_tier
+
+# multi-minute file (measured via --durations, docs/ROUND4.md): excluded
+# from the <5-min core gate (pytest -m "not slow")
+pytestmark = _pytest_tier.mark.slow
+
+
 @pytest.fixture(scope="module")
 def trained_run(tmp_path_factory, mesh8):
     """Train 2 epochs through main.main and return the run dir."""

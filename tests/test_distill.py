@@ -8,6 +8,13 @@ from PIL import Image
 from tests.test_e2e_classification import _cfgs, _make_dataset
 
 
+import pytest as _pytest_tier
+
+# multi-minute file (measured via --durations, docs/ROUND4.md): excluded
+# from the <5-min core gate (pytest -m "not slow")
+pytestmark = _pytest_tier.mark.slow
+
+
 @pytest.fixture(scope="module")
 def dataset_root(tmp_path_factory):
     return _make_dataset(tmp_path_factory.mktemp("kd_toy"))

@@ -7,6 +7,13 @@ import pytest
 from PIL import Image
 
 
+import pytest as _pytest_tier
+
+# multi-minute file (measured via --durations, docs/ROUND4.md): excluded
+# from the <5-min core gate (pytest -m "not slow")
+pytestmark = _pytest_tier.mark.slow
+
+
 def _make_dataset(root, n_per_class=64, size=32):
     # 64/class × 2 classes / bs 16 = 8 steps/epoch: enough optimizer steps for
     # the BatchNorm running stats (momentum 0.9) to converge — with only

@@ -103,6 +103,7 @@ def _embed_cfgs(root, task, extra_val=None):
     }
 
 
+@pytest.mark.slow  # ~60 s; the cbir test below is the core-tier fast e2e
 def test_face_training_and_pair_eval(face_root, tmp_path, mesh8):
     import jax.numpy as jnp
 
@@ -167,6 +168,7 @@ def test_cbir_training_and_retrieval_eval(cbir_root, tmp_path, mesh8):
     assert metrics["MRR@1"] >= 0.5, metrics
 
 
+@pytest.mark.slow  # ~120 s
 def test_embedding_resume(cbir_root, tmp_path, mesh8):
     """run_embedding --resume continues from the saved epoch
     (vision_engine.py:494-507 parity)."""

@@ -8,6 +8,13 @@ from PIL import Image
 SIZE = 32
 
 
+import pytest as _pytest_tier
+
+# multi-minute file (measured via --durations, docs/ROUND4.md): excluded
+# from the <5-min core gate (pytest -m "not slow")
+pytestmark = _pytest_tier.mark.slow
+
+
 @pytest.fixture(scope="module")
 def csv_root(tmp_path_factory):
     """Images carry red and/or blue channel signal; labels = [has_red, has_blue,

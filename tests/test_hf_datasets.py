@@ -12,6 +12,13 @@ from PIL import Image
 hfds = pytest.importorskip("datasets")
 
 
+import pytest as _pytest_tier
+
+# multi-minute file (measured via --durations, docs/ROUND4.md): excluded
+# from the <5-min core gate (pytest -m "not slow")
+pytestmark = _pytest_tier.mark.slow
+
+
 def _pil(seed, size=(8, 8)):
     rng = np.random.default_rng(seed)
     return Image.fromarray(rng.integers(0, 255, size=(*size, 3), dtype=np.uint8))

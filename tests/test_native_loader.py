@@ -6,9 +6,13 @@ from PIL import Image
 
 from visiondk_tpu.data.native import native_available
 
-pytestmark = pytest.mark.skipif(
-    not native_available(), reason="native loader not built / toolchain missing"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not native_available(), reason="native loader not built / toolchain missing"
+    ),
+    # ~90 s file (decoder builds + batch decodes): excluded from the core gate
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")

@@ -6,6 +6,13 @@ import numpy as np
 import pytest
 
 
+import pytest as _pytest_tier
+
+# multi-minute file (measured via --durations, docs/ROUND4.md): excluded
+# from the <5-min core gate (pytest -m "not slow")
+pytestmark = _pytest_tier.mark.slow
+
+
 @pytest.fixture(scope="module")
 def setup():
     import jax

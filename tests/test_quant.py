@@ -11,6 +11,13 @@ import numpy as np
 import pytest
 
 
+import pytest as _pytest_tier
+
+# multi-minute file (measured via --durations, docs/ROUND4.md): excluded
+# from the <5-min core gate (pytest -m "not slow")
+pytestmark = _pytest_tier.mark.slow
+
+
 def _cos(a, b):
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)

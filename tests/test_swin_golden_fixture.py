@@ -20,6 +20,13 @@ import numpy as np
 FIXTURE = Path(__file__).parent / "fixtures" / "swin_golden.npz"
 
 
+import pytest as _pytest_tier
+
+# multi-minute file (measured via --durations, docs/ROUND4.md): excluded
+# from the <5-min core gate (pytest -m "not slow")
+pytestmark = _pytest_tier.mark.slow
+
+
 def test_swin_fixture_logits_parity():
     import jax
     import jax.numpy as jnp

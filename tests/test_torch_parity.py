@@ -17,6 +17,13 @@ torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 
 
+import pytest as _pytest_tier
+
+# multi-minute file (measured via --durations, docs/ROUND4.md): excluded
+# from the <5-min core gate (pytest -m "not slow")
+pytestmark = _pytest_tier.mark.slow
+
+
 def _randomize(model: "tnn.Module", seed: int) -> None:
     """Fill every param AND BN running stat with non-trivial values so the
     conversion of each tensor kind is actually exercised."""

@@ -18,6 +18,13 @@ import torch.nn as tnn  # noqa: E402
 import torch.nn.functional as F  # noqa: E402
 
 
+import pytest as _pytest_tier
+
+# multi-minute file (measured via --durations, docs/ROUND4.md): excluded
+# from the <5-min core gate (pytest -m "not slow")
+pytestmark = _pytest_tier.mark.slow
+
+
 def _randomize(model: "tnn.Module", seed: int) -> None:
     """Fill every learnable param and BN running stat with non-trivial values
     — but leave structural buffers (attn_mask, relative_coords_table, ...)

@@ -5,6 +5,13 @@ import pytest
 from PIL import Image
 
 
+import pytest as _pytest_tier
+
+# multi-minute file (measured via --durations, docs/ROUND4.md): excluded
+# from the <5-min core gate (pytest -m "not slow")
+pytestmark = _pytest_tier.mark.slow
+
+
 class _Logger:
     def console(self, *a):
         pass
