@@ -71,16 +71,34 @@ def run(batch=128, train_iters=20, embed_iters=20, warmup=3):
     state, step, embed_state, embed = build(batch)
 
     # NOTE: on the tunneled TPU backend block_until_ready does not actually
-    # block; a device→host scalar fetch is the only reliable sync. Steps chain
-    # through `state`, so fetching the final loss forces the whole run.
+    # block; a device→host scalar fetch is the only reliable sync. Like the
+    # embed loop below, the whole timed train run is ONE jitted fori_loop
+    # dispatch: a Python-side step loop (even chained through `state`) goes
+    # tunnel-bound whenever per-step dispatch RTT exceeds the ~100 ms device
+    # step — measured 1270 → 948 img/s across one day on an identical chip
+    # purely from tunnel weather. Weights/rng advance per iteration so no
+    # loop-invariant hoisting is possible; the constant batch is fine because
+    # host input feeding is measured separately (--pipeline).
+    from functools import partial as _partial
+
     lam = jnp.float32(0.0)
-    for _ in range(warmup):
-        state, m = step(state, batch_dev, lam)
-    float(m["loss"])
+
+    @_partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+    def train_n(st, b, iters):
+        def body(_, carry):
+            st, _loss = carry
+            st, m = step(st, b, lam)
+            return (st, m["loss"])
+
+        return jax.lax.fori_loop(0, iters, body, (st, jnp.float32(0.0)))
+
+    # compile + warm with the SAME static iters (a different count would
+    # recompile inside the timed region)
+    state, last = train_n(state, batch_dev, train_iters)
+    float(last)
     t0 = time.perf_counter()
-    for _ in range(train_iters):
-        state, m = step(state, batch_dev, lam)
-    float(m["loss"])
+    state, last = train_n(state, batch_dev, train_iters)
+    float(last)
     train_ips = batch * train_iters / (time.perf_counter() - t0)
 
     # One dispatch for the whole embed loop: per-iteration dispatch through
