@@ -160,16 +160,132 @@ def test_native_train_loader(tmp_path):
     assert all(np.array_equal(x["image"], y["image"]) for x, y in zip(b0, b0b))
     assert all(np.array_equal(x["label"], y["label"]) for x, y in zip(b0, b0b))
 
-    # hot-swap to a non-letterbox pipeline → PIL fallback epoch, same contract
+    # hot-swap to a native-ineligible pipeline (random_crop_and_resize is
+    # native now — random_rotate is not) → PIL fallback epoch, same contract
     ds.transforms = ClassWiseAugmenter(
         create_aug_transforms(
-            [{"random_crop_and_resize": {"size": 32}}, {"to_tensor": "no_params"}]
+            [
+                {"random_rotate": {"degrees": 10}},
+                {"resize_and_padding": {"size": 32}},
+                {"to_tensor": "no_params"},
+            ]
         ),
         None, None,
     )
     loader.set_epoch(2)
     fb = list(loader)
     assert len(fb) == 3 and fb[0]["image"].shape == (4, 32, 32, 3)
+
+
+def test_rrc_sample_params_matches_call(img_files):
+    """RandomResizedCrop.sample_params consumes the exact RNG sequence of
+    __call__: replaying the params reproduces __call__'s pixels bit-exactly
+    (this is what lets the native path reuse the host crop geometry)."""
+    from visiondk_tpu.data.transforms import AUG_METHODS, seed_sample
+
+    paths, arrays = img_files
+    rrc = AUG_METHODS.create("random_crop_and_resize", size=32)
+    saw_crop = saw_letterbox = False
+    for j, arr in enumerate(arrays):
+        img = Image.fromarray(arr)
+        w, h = img.size
+        seed_sample(7, 3, j)
+        params = rrc.sample_params(w, h)
+        seed_sample(7, 3, j)
+        via_call = np.asarray(rrc(img))
+        if params[0] == "letterbox":
+            saw_letterbox = True
+            ref = np.asarray(rrc.resize_and_padding(img))
+        else:
+            saw_crop = True
+            _, l, t, cw, ch = params
+            assert 0 <= l and 0 <= t and l + cw <= w and t + ch <= h
+            ref = np.asarray(
+                img.crop((l, t, l + cw, t + ch)).resize((32, 32), Image.BILINEAR)
+            )
+        np.testing.assert_array_equal(via_call, ref)
+    # the fixture's (100, 30) image exercises the AR>1.5 letterbox guard
+    assert saw_crop and saw_letterbox
+
+
+def test_native_rrc_matches_pil_geometry(img_files):
+    """decode_batch_ops with sample_params rects ≈ the PIL RRC output (same
+    crop geometry; resampling filters differ)."""
+    from visiondk_tpu.data.native import NativeDecoder
+    from visiondk_tpu.data.transforms import AUG_METHODS, seed_sample
+
+    paths, arrays = img_files
+    rrc = AUG_METHODS.create("random_crop_and_resize", size=32)
+    ops = np.zeros((len(paths), 5), np.int32)
+    pil_out = []
+    for j, arr in enumerate(arrays):
+        img = Image.fromarray(arr)
+        seed_sample(0, 0, j)
+        p = rrc.sample_params(*img.size)
+        if p[0] == "crop":
+            ops[j] = (1, *p[1:])
+        seed_sample(0, 0, j)
+        pil_out.append(np.asarray(rrc(img)))
+    dec = NativeDecoder(32, 32, threads=2)
+    out, ok = dec.decode_batch_ops(paths, ops)
+    assert ok.all()
+    for j in range(len(paths)):
+        diff = np.abs(out[j].astype(int) - pil_out[j].astype(int))
+        # random noise is the worst case for filter differences (INTER_AREA
+        # vs PIL antialiased BILINEAR); geometry mismatch would blow way past
+        assert diff.mean() < 20.0, (j, diff.mean())
+
+
+def test_native_train_loader_rrc_stage(tmp_path):
+    """NativeTrainLoader serves a random_crop_and_resize host stage natively:
+    per-epoch determinism, epoch-to-epoch variation, and per-sample crop
+    geometry matching the PIL DataLoader for the same (seed, epoch, index)."""
+    from visiondk_tpu.data.class_augmenter import ClassWiseAugmenter
+    from visiondk_tpu.data.datasets import ImageDatasets
+    from visiondk_tpu.data.loader import DataLoader, NativeTrainLoader
+    from visiondk_tpu.data.transforms import create_aug_transforms
+
+    rng = np.random.default_rng(1)
+    for cls in ("a", "b"):
+        d = tmp_path / "train" / cls
+        d.mkdir(parents=True)
+        for i in range(6):
+            Image.fromarray(rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)).save(
+                d / f"{i}.png"
+            )
+
+    def make_ds():
+        return ImageDatasets(
+            str(tmp_path), "train",
+            transforms=ClassWiseAugmenter(
+                create_aug_transforms(
+                    [{"random_crop_and_resize": {"size": 32}}, {"to_tensor": "no_params"}]
+                ),
+                None, None,
+            ),
+        )
+
+    native = NativeTrainLoader(make_ds(), batch_size=4, seed=0, num_workers=2)
+    native.set_epoch(0)
+    nb0 = list(native)
+    assert len(nb0) == 3 and nb0[0]["image"].shape == (4, 32, 32, 3)
+    assert nb0[0]["image"].dtype == np.uint8
+
+    # determinism / epoch variation
+    native.set_epoch(0)
+    assert all(np.array_equal(x["image"], y["image"]) for x, y in zip(nb0, list(native)))
+    native.set_epoch(1)
+    assert not all(np.array_equal(x["image"], y["image"]) for x, y in zip(nb0, list(native)))
+
+    # geometry parity with the PIL path: same (seed, epoch, index) stream →
+    # same crops, pixels within resampling tolerance
+    pil = DataLoader(make_ds(), batch_size=4, shuffle=True, drop_last=True,
+                     num_workers=2, seed=0)
+    pil.set_epoch(0)
+    for nb, pb in zip(nb0, pil):
+        np.testing.assert_array_equal(nb["label"], pb["label"])
+        diff = np.abs(nb["image"].astype(int) - pb["image"].astype(int))
+        assert diff.mean() < 20.0, diff.mean()
 
 
 def test_dataprocessor_picks_native_train_loader(tmp_path):
@@ -205,3 +321,40 @@ def test_dataprocessor_picks_native_train_loader(tmp_path):
     assert isinstance(loader, NativeTrainLoader)
     batch = next(iter(loader))
     assert batch["image"].shape == (4, 32, 32, 3)
+
+
+def test_dataprocessor_picks_native_loader_for_rrc(tmp_path):
+    """The pet.yaml-shaped train config (photometric ops + random crop) takes
+    the native train loader after the device-augment split."""
+    from visiondk_tpu.data.dataprocessor import SmartDataProcessor
+    from visiondk_tpu.data.loader import NativeTrainLoader
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        for cls in ("a", "b"):
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            for i in range(4):
+                Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+                    d / f"{i}.png"
+                )
+    cfg = {
+        "root": str(tmp_path),
+        "train": {
+            "bs": 4,
+            "augment": [
+                {"random_color_jitter": {"brightness": 0.2}},  # lifts to device
+                {"random_horizonflip": {"p": 0.5}},  # lifts to device
+                {"random_crop_and_resize": {"size": 32}},
+                "to_tensor",
+            ],
+        },
+        "val": {"bs": 4, "augment": [{"resize_and_padding": {"size": 32}}, "to_tensor"]},
+    }
+    dp = SmartDataProcessor(cfg, project=str(tmp_path / "run"))
+    assert dp.device_augment_cfg
+    loader = dp.dataloader("train", 4)
+    assert isinstance(loader, NativeTrainLoader)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (4, 32, 32, 3)
+    assert batch["image"].dtype == np.uint8

@@ -177,10 +177,10 @@ class SmartDataProcessor:
         self, batch_size, num_workers, seed, process_index, process_count
     ):
         """C++ decode fast path for the TRAIN loader: local file-path dataset
-        whose (post-device-split) host pipeline is plain letterbox — the
-        native pool then owns the whole host stage (NativeTrainLoader falls
-        back to the PIL path per-epoch whenever a hot-swap makes the live
-        pipeline non-letterbox)."""
+        whose (post-device-split) host pipeline is plain letterbox or a
+        single RandomResizedCrop — the native pool then owns the whole host
+        stage (NativeTrainLoader falls back to the PIL path per-epoch
+        whenever a hot-swap makes the live pipeline native-ineligible)."""
         ds = self.train_dataset
         if ds is None or not len(ds):
             return None
@@ -191,14 +191,14 @@ class SmartDataProcessor:
         try:
             from visiondk_tpu.data.loader import NativeTrainLoader
             from visiondk_tpu.data.native import native_available
-            from visiondk_tpu.data.transforms import is_plain_letterbox
+            from visiondk_tpu.data.transforms import native_train_stage
 
             if not native_available():
                 return None
             base = getattr(ds.transforms, "base_transforms", ds.transforms)
             if getattr(ds.transforms, "class_transforms", None):
                 return None
-            if is_plain_letterbox(base) is None:
+            if native_train_stage(base) is None:
                 return None
             return NativeTrainLoader(
                 ds, batch_size, seed=seed, num_workers=num_workers or 8,

@@ -155,15 +155,20 @@ class DataLoader:
 class NativeTrainLoader:
     """Train loader over file paths using the C++ decode pool
     (csrc/dataloader): once the device-augment split leaves the host stage as
-    plain letterbox (transforms.is_plain_letterbox), the WHOLE host pipeline
-    is one GIL-free native call per batch.
+    plain letterbox OR a single RandomResizedCrop
+    (transforms.native_train_stage), the WHOLE host pipeline is one GIL-free
+    native call per batch. For the RRC stage each sample's crop rect is drawn
+    host-side from the same per-(seed, epoch, sample) stream the PIL path
+    uses (RandomResizedCrop.sample_params, fed by header-only image dims
+    cached across epochs) and executed by the pool — identical crop geometry,
+    C++ decode+crop+resize.
 
     DataLoader-contract parity: epoch-seeded shuffle (``set_epoch``),
     drop_last static batches, multi-host index sharding, background prefetch.
-    The letterbox size is re-read from the live dataset pipeline at each
-    ``__iter__`` (progressive resize / warmup hot-swaps rebuild the pipeline);
-    if the pipeline stops being plain letterbox for an epoch, that epoch
-    falls back to the PIL DataLoader transparently.
+    The stage is re-read from the live dataset pipeline at each ``__iter__``
+    (progressive resize / warmup hot-swaps rebuild the pipeline); if the
+    pipeline stops being native-eligible for an epoch, that epoch falls back
+    to the PIL DataLoader transparently.
     """
 
     shuffle = True
@@ -188,6 +193,7 @@ class NativeTrainLoader:
         self.process_count = process_count
         self._decoder = None
         self._decoder_size = None
+        self._dims: Dict[str, tuple] = {}  # path → header (w, h), RRC stage
         self._fallback = DataLoader(
             dataset, batch_size, shuffle=True, drop_last=True,
             num_workers=num_workers, prefetch=prefetch, seed=seed,
@@ -204,19 +210,37 @@ class NativeTrainLoader:
     def __len__(self) -> int:
         return len(self._indices()) // self.batch_size
 
-    def _current_letterbox_size(self) -> Optional[int]:
-        from visiondk_tpu.data.transforms import is_plain_letterbox
+    def _current_stage(self):
+        from visiondk_tpu.data.transforms import native_train_stage
 
         base = getattr(self.dataset.transforms, "base_transforms", self.dataset.transforms)
         if getattr(self.dataset.transforms, "class_transforms", None):
             return None
-        return is_plain_letterbox(base)
+        return native_train_stage(base)
+
+    def _dims_of(self, path: str) -> tuple:
+        """Header-only (w, h) read, cached across epochs. (0, 0) on failure —
+        the native decode of that file will then also fail and the corrupt
+        -row substitution below covers it."""
+        d = self._dims.get(path)
+        if d is None:
+            try:
+                from PIL import Image
+
+                with Image.open(path) as im:
+                    d = im.size
+            except Exception:
+                d = (0, 0)
+            self._dims[path] = d
+        return d
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        size = self._current_letterbox_size()
-        if size is None:
+        stage = self._current_stage()
+        if stage is None:
             yield from self._fallback
             return
+        kind, arg = stage
+        size = arg if kind == "letterbox" else arg.size
         if self._decoder is None or self._decoder_size != size:
             from visiondk_tpu.data.native import NativeDecoder
 
@@ -229,10 +253,26 @@ class NativeTrainLoader:
         label_tf = getattr(ds, "label_transforms", None)
 
         def make_batch(b: int) -> Dict[str, np.ndarray]:
+            from visiondk_tpu.data.transforms import seed_sample
+
             batch_idx = indices[b * self.batch_size : (b + 1) * self.batch_size]
             paths = [ds.images[int(i)] for i in batch_idx]
             labels = [ds.labels[int(i)] for i in batch_idx]
-            images, ok = self._decoder.decode_batch(paths)
+            if kind == "rrc":
+                # crop rects from the SAME per-sample stream the PIL path
+                # seeds (DataLoader._make_batch) — identical geometry
+                ops = np.zeros((len(paths), 5), np.int32)
+                for j, i in enumerate(batch_idx):
+                    w, h = self._dims_of(paths[j])
+                    if w > 0 and h > 0:
+                        seed_sample(self.seed, self.epoch, int(i))
+                        p = arg.sample_params(w, h)
+                        if p[0] == "crop":
+                            ops[j] = (1, p[1], p[2], p[3], p[4])
+                        # else AR>1.5 guard → mode 0 letterbox row
+                images, ok = self._decoder.decode_batch_ops(paths, ops)
+            else:
+                images, ok = self._decoder.decode_batch(paths)
             if not ok.all():
                 good = np.flatnonzero(ok)
                 if good.size == 0:

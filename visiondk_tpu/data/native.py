@@ -27,17 +27,37 @@ _lib = None
 _lib_error: Optional[str] = None
 
 
+def _build():
+    subprocess.run(
+        ["make", "-C", str(_REPO_ROOT / "csrc")],
+        check=True, capture_output=True, timeout=300,
+    )
+
+
 def _load_lib():
     global _lib, _lib_error
     if _lib is not None or _lib_error is not None:
         return _lib
     try:
         if not _SO_PATH.is_file():
-            subprocess.run(
-                ["make", "-C", str(_REPO_ROOT / "csrc")],
-                check=True, capture_output=True, timeout=300,
-            )
+            _build()
         lib = ctypes.CDLL(str(_SO_PATH))
+        if not hasattr(lib, "vdk_decode_batch_ops"):
+            # stale build from before the per-sample-op entry: rebuild once.
+            # Unlink first — g++ -o truncates in place, and dlopen dedupes by
+            # inode, so rebuilding into the same inode would hand back the
+            # already-loaded (stale) handle.
+            _SO_PATH.unlink(missing_ok=True)
+            _build()
+            lib = ctypes.CDLL(str(_SO_PATH))
+        lib.vdk_decode_batch_ops.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.vdk_loader_create.restype = ctypes.c_void_p
         lib.vdk_loader_create.argtypes = [ctypes.c_int] * 4
         lib.vdk_loader_destroy.argtypes = [ctypes.c_void_p]
@@ -90,6 +110,32 @@ class NativeDecoder:
             self._handle,
             arr,
             n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out, ok.astype(bool)
+
+    def decode_batch_ops(self, paths: Sequence[str], ops: np.ndarray,
+                         out: Optional[np.ndarray] = None
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode with a per-sample geometry op (int32 [B, 5] rows of
+        ``[mode, a, b, c, d]``): mode 0 letterbox, 1 crop rect
+        (left, top, w, h) + resize, 2 plain resize. The randomized-train
+        entry — the caller samples each crop from its reproducible
+        per-sample RNG (transforms.RandomResizedCrop.sample_params)."""
+        n = len(paths)
+        ops = np.ascontiguousarray(ops, dtype=np.int32)
+        assert ops.shape == (n, 5), ops.shape
+        if out is None:
+            out = np.empty((n, self.height, self.width, 3), np.uint8)
+        assert out.shape == (n, self.height, self.width, 3) and out.dtype == np.uint8
+        ok = np.zeros((n,), np.uint8)
+        arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+        self._lib.vdk_decode_batch_ops(
+            self._handle,
+            arr,
+            n,
+            ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )

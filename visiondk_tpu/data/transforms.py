@@ -235,12 +235,16 @@ class RandomResizedCrop(Transform):
         self.ratio = tuple(ratio)
         self.resize_and_padding = ResizeAndPadding2Square(size, training=True)
 
-    def __call__(self, img):
-        img = _to_pil(img)
-        w, h = img.size
+    def sample_params(self, w: int, h: int):
+        """Draw this sample's crop geometry from the thread's seeded RNG —
+        the exact draw sequence ``__call__`` consumes, so the native C++
+        decode path (loader.NativeTrainLoader) reproduces the PIL path's
+        crop for the same (seed, epoch, index). Returns ``("letterbox",)``
+        for the AR>1.5 guard, else ``("crop", left, top, cw, ch)`` (the
+        10-attempt failure = a center crop of side min(w, h))."""
         ar = max(w, h) / max(min(w, h), 1)
         if ar > 1.5:
-            return self.resize_and_padding(img)
+            return ("letterbox",)
         area = w * h
         for _ in range(10):
             target_area = area * rng().uniform(*self.scale)
@@ -251,9 +255,19 @@ class RandomResizedCrop(Transform):
             if 0 < cw <= w and 0 < ch <= h:
                 left = rng().randint(0, w - cw)
                 top = rng().randint(0, h - ch)
-                img2 = img.crop((left, top, left + cw, top + ch))
-                return img2.resize((self.size, self.size), Image.BILINEAR)
-        return CenterCrop(min(w, h))(img).resize((self.size, self.size), Image.BILINEAR)
+                return ("crop", left, top, cw, ch)
+        side = min(w, h)
+        return ("crop", max((w - side) // 2, 0), max((h - side) // 2, 0), side, side)
+
+    def __call__(self, img):
+        img = _to_pil(img)
+        w, h = img.size
+        p = self.sample_params(w, h)
+        if p[0] == "letterbox":
+            return self.resize_and_padding(img)
+        _, left, top, cw, ch = p
+        img2 = img.crop((left, top, left + cw, top + ch))
+        return img2.resize((self.size, self.size), Image.BILINEAR)
 
 
 @AUG_METHODS.register(name="pad_if_need")
@@ -1057,6 +1071,28 @@ def is_plain_letterbox(pipeline: Compose) -> Optional[int]:
         else:
             return None
     return size
+
+
+def native_train_stage(pipeline: Compose):
+    """Classify a (post device-augment-split) host train pipeline for the
+    native C++ decode pool. Returns ``("letterbox", size)`` for a plain
+    letterbox stage, ``("rrc", op)`` when the stage is exactly one
+    RandomResizedCrop (+ to_tensor / normalize markers — the crop rect is
+    then sampled host-side per sample and executed in C++), else None."""
+    size = is_plain_letterbox(pipeline)
+    if size is not None:
+        return ("letterbox", size)
+    op = None
+    for t in getattr(pipeline, "transforms", []):
+        if isinstance(t, RandomResizedCrop):
+            if op is not None:
+                return None
+            op = t
+        elif isinstance(t, (ToTensor, Normalize)):
+            continue
+        else:
+            return None
+    return ("rrc", op) if op is not None else None
 
 
 def set_pipeline_size(pipeline: Compose, size: int) -> Compose:
