@@ -246,7 +246,8 @@ PIPELINE_AUG = [
 ]
 
 
-def run_pipeline(batch=128, steps=20, warmup=2, workers=8, device_aug=False):
+def run_pipeline(batch=128, steps=20, warmup=2, workers=8, device_aug=False,
+                 native=False):
     """End-to-end train throughput fed by the REAL input pipeline
     (disk JPEG → DataLoader host decode+augment → device step), next to a
     loader-only drain. On this one-core dev host the loader ceiling is
@@ -256,12 +257,16 @@ def run_pipeline(batch=128, steps=20, warmup=2, workers=8, device_aug=False):
     ``device_aug=True`` applies the round-4 split: the photometric/occlusion
     ops lift onto the TPU (ops/device_augment) and the host keeps
     decode + crop/resize only — the A/B for VERDICT item 2/8.
+
+    ``native=True`` additionally serves the post-split host stage from the
+    C++ decode pool (NativeTrainLoader, the loader SmartDataProcessor picks
+    in production when the stage is native-eligible).
     """
     import jax
     import jax.numpy as jnp
 
     from visiondk_tpu.data.datasets import ImageDatasets
-    from visiondk_tpu.data.loader import DataLoader
+    from visiondk_tpu.data.loader import DataLoader, NativeTrainLoader
     from visiondk_tpu.data.transforms import create_aug_transforms
     from visiondk_tpu.ops.device_augment import (
         make_device_augment,
@@ -276,9 +281,14 @@ def run_pipeline(batch=128, steps=20, warmup=2, workers=8, device_aug=False):
     aug = create_aug_transforms(host_cfg)
     augment_fn = make_device_augment(device_cfg) if device_cfg else None
     ds = ImageDatasets(root, "train", transforms=aug)
-    loader = DataLoader(
-        ds, batch, shuffle=True, drop_last=True, num_workers=workers, prefetch=6
-    )
+    if native:
+        loader = NativeTrainLoader(
+            ds, batch, seed=0, num_workers=workers, prefetch=6
+        )
+    else:
+        loader = DataLoader(
+            ds, batch, shuffle=True, drop_last=True, num_workers=workers, prefetch=6
+        )
 
     def batches(n):
         epoch = 0
@@ -318,6 +328,8 @@ def run_pipeline(batch=128, steps=20, warmup=2, workers=8, device_aug=False):
     total = time.perf_counter() - t_start
     train_ips = batch * n / total
     tag = "device-aug" if device_aug else "host-aug"
+    if native:
+        tag += "+native"
     print(
         json.dumps(
             {
@@ -365,16 +377,23 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
         run(batch=8, train_iters=3, embed_iters=3, warmup=1)
     elif "--pipeline-ab" in sys.argv:
-        # A/B: full-host augments vs device-augment split (VERDICT item 8)
+        # A/B/C: full-host augments vs device-augment split (VERDICT item
+        # 8) vs split + C++ native decode (the production loader choice)
         host_ips, _ = _with_retries(lambda: run_pipeline(device_aug=False))
         dev_ips, _ = _with_retries(lambda: run_pipeline(device_aug=True))
+        nat_ips, _ = _with_retries(
+            lambda: run_pipeline(device_aug=True, native=True)
+        )
         print(json.dumps({
-            "metric": "pipeline A/B device-aug speedup",
-            "value": round(dev_ips, 2),
+            "metric": "pipeline A/B device-aug+native speedup",
+            "value": round(nat_ips, 2),
             "unit": "images/sec",
-            "vs_baseline": round(dev_ips / max(host_ips, 1e-9), 3),
+            "vs_baseline": round(nat_ips / max(host_ips, 1e-9), 3),
             "host_aug_ips": round(host_ips, 2),
+            "device_aug_ips": round(dev_ips, 2),
         }))
+    elif "--pipeline-native" in sys.argv:
+        _with_retries(lambda: run_pipeline(device_aug=True, native=True))
     elif "--pipeline-devaug" in sys.argv:
         _with_retries(lambda: run_pipeline(device_aug=True))
     elif "--pipeline" in sys.argv:

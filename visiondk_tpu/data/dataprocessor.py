@@ -177,10 +177,11 @@ class SmartDataProcessor:
         self, batch_size, num_workers, seed, process_index, process_count
     ):
         """C++ decode fast path for the TRAIN loader: local file-path dataset
-        whose (post-device-split) host pipeline is plain letterbox or a
-        single RandomResizedCrop — the native pool then owns the whole host
-        stage (NativeTrainLoader falls back to the PIL path per-epoch
-        whenever a hot-swap makes the live pipeline native-ineligible)."""
+        whose (post-device-split) host pipeline is plain letterbox, a single
+        RandomResizedCrop, or the pet.yaml-style random_choice over the two
+        — the native pool then owns the whole host stage (NativeTrainLoader
+        falls back to the PIL path per-epoch whenever a hot-swap makes the
+        live pipeline native-ineligible)."""
         ds = self.train_dataset
         if ds is None or not len(ds):
             return None

@@ -155,13 +155,15 @@ class DataLoader:
 class NativeTrainLoader:
     """Train loader over file paths using the C++ decode pool
     (csrc/dataloader): once the device-augment split leaves the host stage as
-    plain letterbox OR a single RandomResizedCrop
-    (transforms.native_train_stage), the WHOLE host pipeline is one GIL-free
-    native call per batch. For the RRC stage each sample's crop rect is drawn
-    host-side from the same per-(seed, epoch, sample) stream the PIL path
-    uses (RandomResizedCrop.sample_params, fed by header-only image dims
-    cached across epochs) and executed by the pool — identical crop geometry,
-    C++ decode+crop+resize.
+    plain letterbox, a single RandomResizedCrop, or a RandomChoice over
+    letterbox/RandomResizedCrop branches of one size — the reference
+    pet.yaml geometry block — (transforms.native_train_stage), the WHOLE
+    host pipeline is one GIL-free native call per batch. For the randomized
+    stages each sample's branch + crop rect are drawn host-side from the
+    same per-(seed, epoch, sample) stream the PIL path uses
+    (transforms.sample_native_geometry, fed by header-only image dims cached
+    across epochs) and executed by the pool — identical geometry, C++
+    decode+crop+resize.
 
     DataLoader-contract parity: epoch-seeded shuffle (``set_epoch``),
     drop_last static batches, multi-host index sharding, background prefetch.
@@ -240,7 +242,12 @@ class NativeTrainLoader:
             yield from self._fallback
             return
         kind, arg = stage
-        size = arg if kind == "letterbox" else arg.size
+        if kind == "letterbox":
+            size = arg
+        elif kind == "choice":
+            size = next(iter(arg.transforms)).size  # common size (validated)
+        else:
+            size = arg.size
         if self._decoder is None or self._decoder_size != size:
             from visiondk_tpu.data.native import NativeDecoder
 
@@ -253,23 +260,20 @@ class NativeTrainLoader:
         label_tf = getattr(ds, "label_transforms", None)
 
         def make_batch(b: int) -> Dict[str, np.ndarray]:
-            from visiondk_tpu.data.transforms import seed_sample
+            from visiondk_tpu.data.transforms import sample_native_geometry, seed_sample
 
             batch_idx = indices[b * self.batch_size : (b + 1) * self.batch_size]
             paths = [ds.images[int(i)] for i in batch_idx]
             labels = [ds.labels[int(i)] for i in batch_idx]
-            if kind == "rrc":
-                # crop rects from the SAME per-sample stream the PIL path
-                # seeds (DataLoader._make_batch) — identical geometry
+            if kind in ("rrc", "choice"):
+                # branch + crop rect from the SAME per-sample stream the PIL
+                # path seeds (DataLoader._make_batch) — identical geometry
                 ops = np.zeros((len(paths), 5), np.int32)
                 for j, i in enumerate(batch_idx):
                     w, h = self._dims_of(paths[j])
                     if w > 0 and h > 0:
                         seed_sample(self.seed, self.epoch, int(i))
-                        p = arg.sample_params(w, h)
-                        if p[0] == "crop":
-                            ops[j] = (1, p[1], p[2], p[3], p[4])
-                        # else AR>1.5 guard → mode 0 letterbox row
+                        ops[j] = sample_native_geometry(arg, w, h)
                 images, ok = self._decoder.decode_batch_ops(paths, ops)
             else:
                 images, ok = self._decoder.decode_batch(paths)

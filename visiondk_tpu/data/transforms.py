@@ -1077,14 +1077,18 @@ def native_train_stage(pipeline: Compose):
     """Classify a (post device-augment-split) host train pipeline for the
     native C++ decode pool. Returns ``("letterbox", size)`` for a plain
     letterbox stage, ``("rrc", op)`` when the stage is exactly one
-    RandomResizedCrop (+ to_tensor / normalize markers — the crop rect is
-    then sampled host-side per sample and executed in C++), else None."""
+    RandomResizedCrop, or ``("choice", op)`` when it is one RandomChoice
+    whose branches are all letterbox / RandomResizedCrop of one common size
+    (the reference pet.yaml geometry block, configs/classification/
+    pet.yaml:56-64) — the per-sample branch + crop rect are then drawn
+    host-side from the sample's RNG stream and executed in C++. Markers
+    (to_tensor / normalize) are ignored throughout; anything else → None."""
     size = is_plain_letterbox(pipeline)
     if size is not None:
         return ("letterbox", size)
     op = None
     for t in getattr(pipeline, "transforms", []):
-        if isinstance(t, RandomResizedCrop):
+        if isinstance(t, (RandomResizedCrop, RandomChoice)):
             if op is not None:
                 return None
             op = t
@@ -1092,7 +1096,34 @@ def native_train_stage(pipeline: Compose):
             continue
         else:
             return None
-    return ("rrc", op) if op is not None else None
+    if op is None:
+        return None
+    if isinstance(op, RandomResizedCrop):
+        return ("rrc", op)
+    sizes = set()
+    for t in op.transforms:
+        if isinstance(t, (RandomResizedCrop, ResizeAndPadding2Square)):
+            sizes.add(t.size)
+        else:
+            return None
+    return ("choice", op) if len(sizes) == 1 else None
+
+
+def sample_native_geometry(stage_op, w: int, h: int):
+    """Draw one sample's native geometry op row ``(mode, a, b, c, d)`` for
+    ``native_train_stage``'s "rrc"/"choice" ops, consuming the sample's
+    seeded RNG stream exactly as the PIL ``__call__`` path would (the caller
+    must ``seed_sample(...)`` first). Mode 0 = letterbox, 1 = crop+resize."""
+    op = stage_op
+    if isinstance(op, RandomChoice):
+        # the PIL path's own draw: one random() per choices(k=1) call
+        op = rng().choices(op.transforms, weights=op.p, k=1)[0]
+    if isinstance(op, ResizeAndPadding2Square):
+        return (0, 0, 0, 0, 0)
+    p = op.sample_params(w, h)
+    if p[0] == "letterbox":  # the RRC AR>1.5 guard
+        return (0, 0, 0, 0, 0)
+    return (1, p[1], p[2], p[3], p[4])
 
 
 def set_pipeline_size(pipeline: Compose, size: int) -> Compose:
