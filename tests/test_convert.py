@@ -91,18 +91,27 @@ def _resnet18_state_dict(num_classes=5):
     return sd
 
 
-def test_tf_checkpoints_dispatch_to_family_converters():
-    # tf_* state_dicts have IDENTICAL keys to the non-tf variants; round 4
-    # implemented the asymmetric TF-SAME padding in the tf_ model factories
-    # (backbones/mobilenet.tf_same_padding), so the dispatcher now routes
-    # tf_ names to the same family converters instead of refusing
-    # (logit goldens: tests/test_torch_parity_families.py tf_same tests).
+def test_tf_checkpoints_dispatch_only_for_registered_tf_factories():
+    # tf_* state_dicts have IDENTICAL keys to the non-tf variants, and the
+    # tf_ model factories implement the asymmetric TF-SAME padding their
+    # weights require (backbones/mobilenet.tf_same_padding). The dispatcher
+    # therefore routes tf_ names to the family converters ONLY when a
+    # matching tf_ factory is registered — converting e.g. tf_resnet18 would
+    # "succeed" into a symmetric-padding model with silently shifted
+    # activations (ADVICE r4 low #4).
+    import pytest
+
     from visiondk_tpu.models.convert import convert_state_dict
 
     sd = _resnet18_state_dict()
-    out_tf = convert_state_dict(sd, "tf_resnet18")
-    out = convert_state_dict(sd, "resnet18")
-    assert out_tf["params"].keys() == out["params"].keys()
+    with pytest.raises(ValueError, match="TF-SAME"):
+        convert_state_dict(sd, "tf_resnet18")
+    # registered tf_ factories (with or without a timm tag) still dispatch:
+    # golden logit tests live in tests/test_torch_parity_families.py
+    from visiondk_tpu.models.backbones import BACKBONES
+
+    assert "tf_efficientnetv2_l" in BACKBONES
+    assert "tf_mobilenetv3_large_minimal_100" in BACKBONES
 
 
 def test_tf_same_padding_geometry():

@@ -337,14 +337,118 @@ def test_make_device_augment_deterministic_and_batched():
     assert any(not np.array_equal(os[i], os[0]) for i in range(1, 8))
 
 
-def test_float_passthrough():
-    """to_tensor_without_div pipelines reach the step as f32 — the device
-    stage passes them through untouched."""
+def test_float_batch_raises():
+    """A non-uint8 batch reaching a compiled device stage is a wiring bug
+    (split_device_pipeline refuses to lift for to_tensor_without_div
+    pipelines) — fail loudly instead of silently skipping every augment
+    (ADVICE r4 high)."""
     fn = da.make_device_augment([{"random_horizonflip": {"p": 1.0}}])
     imgs = jnp.ones((2, 8, 8, 3), jnp.float32)
-    out = fn(jax.random.key(0), imgs)
-    assert out.dtype == jnp.float32
-    assert np.array_equal(np.asarray(out), np.asarray(imgs))
+    with pytest.raises(TypeError, match="uint8"):
+        fn(jax.random.key(0), imgs)
+
+
+def test_split_refuses_to_tensor_without_div():
+    """Pipelines ending in to_tensor_without_div keep ALL augments on host:
+    lifting them would strip them from the host cfg while the device stage
+    can't run on the resulting f32 batch (ADVICE r4 high)."""
+    cfg = [
+        {"random_horizonflip": {"p": 0.5}},
+        {"random_color_jitter": {"brightness": 0.4}},
+        {"resize_and_padding": {"size": 32}},
+        "to_tensor_without_div",
+        {"normalize": {"mean": [0, 0, 0], "std": [1, 1, 1]}},
+    ]
+    host, device = da.split_device_pipeline(cfg)
+    assert device == []
+    assert host == cfg
+
+
+def test_set_device_pipeline_size_progressive_resize():
+    """Progressive resize must rewrite a lifted random_crop's static size —
+    otherwise the first milestone dynamic-slices beyond the shrunken operand
+    (ADVICE r4 medium)."""
+    cfg = [{"random_horizonflip": {"p": 0.5}}, {"random_crop": {"size": 32}}]
+    fn = da.make_device_augment(cfg)
+    big = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    assert fn(jax.random.key(0), big).shape == (2, 32, 32, 3)
+
+    changed = da.set_device_pipeline_size(cfg, 16)
+    assert changed
+    assert cfg[1] == {"random_crop": {"size": 16}}
+    fn2 = da.make_device_augment(cfg)
+    small = jnp.zeros((2, 16, 16, 3), jnp.uint8)
+    assert fn2(jax.random.key(0), small).shape == (2, 16, 16, 3)
+
+    # scalar-param spelling and random_choice nesting are rewritten too
+    cfg2 = [
+        {"random_choice": {"transforms": [{"random_crop": {"size": 48}}]}},
+        {"random_crop": 48},
+    ]
+    assert da.set_device_pipeline_size(cfg2, 24)
+    assert cfg2[0]["random_choice"]["transforms"][0] == {"random_crop": {"size": 24}}
+    assert cfg2[1] == {"random_crop": {"size": 24}}
+
+    # size-free pipelines report unchanged (trainer skips the rebuild)
+    cfg3 = [{"random_horizonflip": {"p": 0.5}}]
+    assert not da.set_device_pipeline_size(cfg3, 24)
+
+
+def test_lift_reorder_distribution():
+    """Quantifies the documented lift reordering deviation (docs/PARITY.md
+    "Known intentional differences" #6).
+
+    (a) Flips commute with a uniform random crop in distribution: the
+        mean image over many draws of host-order flip→crop equals
+        crop→flip within Monte-Carlo tolerance.
+    (b) Cutout does NOT commute: lifted (post-crop) cutout holes are always
+        fully visible, while reference-order (pre-crop) holes can be
+        partially or fully cropped away.
+    """
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8).astype(np.float64)
+    H, S = 24, 16
+    n_draws = 400
+    offs = rng.integers(0, H - S + 1, size=(n_draws, 2))
+    flips = rng.random(n_draws) < 0.5
+
+    # (a) flip→crop vs crop→flip mean images
+    acc_a = np.zeros((S, S, 3))
+    acc_b = np.zeros((S, S, 3))
+    for (oy, ox), f in zip(offs, flips):
+        flipped = img[:, ::-1] if f else img
+        acc_a += flipped[oy:oy + S, ox:ox + S]
+        cropped = img[oy:oy + S, ox:ox + S]
+        acc_b += cropped[:, ::-1] if f else cropped
+    # same marginal distribution ⇒ same mean; MC std of a mean of uniforms
+    # over 400 draws is ~74/sqrt(400) ≈ 3.7 per channel — allow 5 sigma
+    assert np.abs(acc_a / n_draws - acc_b / n_draws).mean() < 12.0
+
+    # (b) cutout visible-hole-area distributions
+    L = 8
+    centers = rng.integers(0, H, size=(n_draws, 2))
+
+    def hole_area_host(cy, cx, oy, ox):
+        y1, y2 = max(cy - L // 2, 0), min(cy + L // 2, H)
+        x1, x2 = max(cx - L // 2, 0), min(cx + L // 2, H)
+        vy = max(0, min(y2, oy + S) - max(y1, oy))
+        vx = max(0, min(x2, ox + S) - max(x1, ox))
+        return vy * vx
+
+    host_areas = np.array([
+        hole_area_host(cy, cx, oy, ox)
+        for (cy, cx), (oy, ox) in zip(centers, offs)
+    ])
+    # lifted: same cutout math on the S×S crop (centers uniform in-crop)
+    lifted_centers = rng.integers(0, S, size=(n_draws, 2))
+    lifted_areas = np.array([
+        (min(cy + L // 2, S) - max(cy - L // 2, 0))
+        * (min(cx + L // 2, S) - max(cx - L // 2, 0))
+        for cy, cx in lifted_centers
+    ])
+    assert (lifted_areas > 0).all()          # hole always visible post-crop
+    assert (host_areas == 0).any()           # reference order can lose it
+    assert lifted_areas.mean() > host_areas.mean()  # documented direction
 
 
 # ---------------------------------------------------------------- integration

@@ -9,14 +9,14 @@ face-pair-file format check. Differences from the reference are deliberate:
 - model names are native zoo names (``resnet50``, ``vit_base_patch16_224``,
   ...); ``timm-<name>.<tag>`` is accepted for config portability and mapped
   onto the native zoo (the tag is dropped);
-- HuggingFace class counting is best-effort (no-egress environments skip it
-  with a warning rather than failing).
+- HuggingFace class counting fails loudly when the hub is unreachable
+  (matching the reference's eager num_classes assert, utils/checks.py:140-143);
+  set ``data.allow_unverified_classes: true`` to proceed unverified.
 """
 
 from __future__ import annotations
 
 import os
-from functools import reduce
 from pathlib import Path
 from typing import Any, Dict
 
@@ -68,10 +68,9 @@ def _backbone_entry(model_cfg: Dict[str, Any]):
 def check_cfgs_common(cfgs: Dict[str, Any]) -> None:
     hyp, data, model = cfgs["hyp"], cfgs["data"], cfgs["model"]
 
-    n_losses = reduce(
-        lambda x, y: int(x) + (int(y[0]) if isinstance(y, (list, tuple)) else int(y)),
-        hyp["loss"].values(),
-        0,
+    n_losses = sum(
+        int(v[0]) if isinstance(v, (list, tuple)) else int(v)
+        for v in hyp["loss"].values()
     )
     assert n_losses == 1, (
         "Loss configuration error: exactly one loss must be enabled "
@@ -125,18 +124,33 @@ def _count_local_classes(root) -> int:
     )
 
 
-def _count_hf_classes(root: str):
+def _count_hf_classes(root: str, allow_unverified: bool):
     try:
         from datasets import load_dataset
 
         ds = load_dataset(root, split="train")
         return len(set(ds["label"]))
-    except Exception as e:  # offline / unreachable hub: best-effort
-        warnings.warn(f"Could not load HF dataset {root!r} to verify num_classes ({e}); skipping.")
-        return None
+    except Exception as e:
+        # The reference fails loudly on a num_classes mismatch (reference
+        # utils/checks.py:140-143); a warning that scrolls past is
+        # under-validation for the one backend where the mistake is easiest.
+        if allow_unverified:
+            warnings.warn(
+                f"data.allow_unverified_classes: true — skipping num_classes "
+                f"verification against HF dataset {root!r} ({e})"
+            )
+            return None
+        raise ValueError(
+            f"Cannot verify num_classes against HF dataset {root!r} ({e}). "
+            f"The num_classes-vs-dataset check is mandatory; if the hub is "
+            f"unreachable (offline), set data.allow_unverified_classes: true "
+            f"to skip it explicitly."
+        ) from e
 
 
-def _check_num_classes(expected: int, data_root: str, what: str) -> None:
+def _check_num_classes(
+    expected: int, data_root: str, what: str, allow_unverified: bool = False
+) -> None:
     if os.path.isdir(data_root):
         n = _count_local_classes(data_root)
     elif str(data_root).endswith(".csv"):
@@ -145,7 +159,7 @@ def _check_num_classes(expected: int, data_root: str, what: str) -> None:
         df = pd.read_csv(data_root)
         n = len([c for c in df.columns if c not in ("image_path", "train")])
     else:
-        n = _count_hf_classes(data_root)
+        n = _count_hf_classes(data_root, allow_unverified)
     if n is not None:
         assert expected == n, (
             f"{what}: num_classes mismatch — dataset has {n}, config says {expected}"
@@ -169,7 +183,10 @@ def check_cfgs_classification(cfgs: Dict[str, Any]) -> None:
         if hyp["loss"].get("bce") and hyp["loss"]["bce"][0]:
             raise ValueError("Single-label tasks do not support BCE loss: set bce: [false, ...]")
 
-    _check_num_classes(model["num_classes"], root, "classification")
+    _check_num_classes(
+        model["num_classes"], root, "classification",
+        allow_unverified=bool(data.get("allow_unverified_classes", False)),
+    )
 
     strategy = hyp.get("strategy", {})
     if strategy.get("focal", [False])[0]:
@@ -201,7 +218,9 @@ def _check_embedding_head(cfgs: Dict[str, Any]) -> None:
         n = _count_local_classes(root)
         assert expected == n, f"head num_class {expected} != dataset classes {n}"
     else:
-        n = _count_hf_classes(root)
+        n = _count_hf_classes(
+            root, bool(data.get("allow_unverified_classes", False))
+        )
         if n is not None:
             assert expected == n, f"head num_class {expected} != dataset classes {n}"
 

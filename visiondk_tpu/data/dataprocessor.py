@@ -102,10 +102,21 @@ class SmartDataProcessor:
         if epoch == milestone:
             self.set_augment("train", None)
 
-    def set_train_size(self, size: int) -> None:
-        """Progressive resolution: rewrite spatial sizes in the live pipeline."""
+    def set_train_size(self, size: int) -> bool:
+        """Progressive resolution: rewrite spatial sizes in the live pipeline.
+
+        Also rewrites static sizes carried by LIFTED device ops (random_crop)
+        so the device stage tracks the shrunken host resize instead of
+        slicing beyond the operand (ADVICE r4). Returns True when the device
+        cfg changed — the trainer must then rebuild its compiled augment fn.
+        """
         aug = self.train_dataset.transforms.base_transforms
         set_pipeline_size(aug, size)
+        if self.device_augment_cfg:
+            from visiondk_tpu.ops.device_augment import set_device_pipeline_size
+
+            return set_device_pipeline_size(self.device_augment_cfg, size)
+        return False
 
     def set_label_smoothing(self, num_classes: int, label_smooth: float) -> None:
         """BCE path: dataset emits smoothed multi-hot targets

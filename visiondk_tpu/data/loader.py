@@ -163,7 +163,12 @@ class NativeTrainLoader:
     same per-(seed, epoch, sample) stream the PIL path uses
     (transforms.sample_native_geometry, fed by header-only image dims cached
     across epochs) and executed by the pool — identical geometry, C++
-    decode+crop+resize.
+    decode+crop+resize. Resample kernels differ on downscale: the native
+    crop path uses cv::INTER_AREA where the PIL path uses Image.BILINEAR
+    (geometry — branch choice + crop rect — is identical; pixel values are
+    not bit-equal, so a mid-training PIL fallback epoch shifts the pixel
+    distribution slightly; see docs/PARITY.md "Known intentional
+    differences").
 
     DataLoader-contract parity: epoch-seeded shuffle (``set_epoch``),
     drop_last static batches, multi-host index sharding, background prefetch.

@@ -293,8 +293,30 @@ class CenterProcessor:
             )
         return self._step_cache[key]
 
+    def _local_bs(self, global_bs: int) -> int:
+        """Per-process train loader batch size. ``data.train.bs`` is the
+        GLOBAL batch (docs/MIGRATION.md); each process loads its disjoint
+        1/process_count slice and the slices are stitched into the global
+        batch in ``_shard_batch``."""
+        n_proc = jax.process_count()
+        if global_bs % max(n_proc, 1):
+            raise ValueError(
+                f"data.train.bs={global_bs} must be divisible by the process "
+                f"count ({n_proc}): each process feeds bs/process_count rows "
+                f"of the global batch"
+            )
+        return global_bs // max(n_proc, 1)
+
     def _shard_batch(self, batch: Dict[str, np.ndarray]):
         arrays = {k: v for k, v in batch.items() if k != "valid"}
+        if jax.process_count() > 1:
+            # each process holds only its rows of the global batch: stitch
+            # them into one global array over the 'data' axis (device_put
+            # would wrongly treat each host's slice as the whole batch)
+            return {
+                k: jax.make_array_from_process_local_data(self.mesh.batch, v)
+                for k, v in arrays.items()
+            }
         return jax.device_put(arrays, self.mesh.batch)
 
     def _epoch_strategy(self, epoch: int, lossfn, aug_epoch: int, log: bool = True):
@@ -332,7 +354,22 @@ class CenterProcessor:
         if self.prog_learn:
             for node, size in zip(self.resize_chnodes, self.imgsz_milestone):
                 if epoch == node:
-                    dp.set_train_size(size)
+                    device_cfg_changed = dp.set_train_size(size)
+                    if device_cfg_changed and self.device_augment_fn is not None:
+                        # a lifted random_crop carries a static size: rebuild
+                        # the compiled stage at the new size and drop cached
+                        # steps that closed over the old fn (ADVICE r4)
+                        from visiondk_tpu.ops.device_augment import (
+                            make_device_augment,
+                        )
+
+                        self.device_augment_fn = make_device_augment(
+                            dp.device_augment_cfg
+                        )
+                        # drop every cached step (they closed over the old
+                        # fn; their old-shape jit traces are dead after the
+                        # resize anyway)
+                        self._step_cache.clear()
                     if primary:
                         self.logger.both(f"progressive resize -> {size}")
         return lossfn, mixup_active
@@ -349,7 +386,7 @@ class CenterProcessor:
 
         global_bs = data_cfg["train"]["bs"]
         train_loader = dp.dataloader(
-            "train", global_bs, seed=self.seed,
+            "train", self._local_bs(global_bs), seed=self.seed,
             process_index=jax.process_index(), process_count=jax.process_count(),
         )
         # multi-host stance: val is REPLICATED (every process, identical full
@@ -540,7 +577,7 @@ class CenterProcessor:
 
         global_bs = data_cfg["train"]["bs"]
         train_loader = dp.dataloader(
-            "train", global_bs, seed=self.seed,
+            "train", self._local_bs(global_bs), seed=self.seed,
             process_index=jax.process_index(), process_count=jax.process_count(),
         )
         steps_per_epoch = max(len(train_loader), 1)

@@ -531,7 +531,20 @@ def convert_state_dict(
         # tf_* checkpoints carry identical KEYS to the non-tf variants; the
         # zoo's tf_ factories implement the matching asymmetric TF-SAME conv
         # padding + BN eps 1e-3 (backbones/mobilenet.tf_same_padding), so the
-        # same converters apply. (Round-3 refused these; round-4 implements.)
+        # same converters apply — but ONLY for archs that actually have a
+        # registered tf_ factory. Stripping the prefix for any other tf_ name
+        # would "succeed" and load into a symmetric-padding model, the exact
+        # silent shifted-activation bug the round-3 guard existed to prevent.
+        from visiondk_tpu.models.backbones import BACKBONES
+
+        if name.split(".")[0] not in BACKBONES:  # tolerate .in1k-style tags
+            tf_zoo = sorted(k for k in BACKBONES if k.startswith("tf_"))
+            raise ValueError(
+                f"no TF-SAME-padding model factory for {arch!r}: its weights "
+                f"require asymmetric TF-SAME conv geometry and would load "
+                f"into a symmetric-padding model with shifted activations. "
+                f"tf_ archs with registered factories: {tf_zoo}"
+            )
         name = name[len("tf_"):]
     for prefix, fn in CONVERTERS.items():
         if name.startswith(prefix) or (

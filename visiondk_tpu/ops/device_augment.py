@@ -868,6 +868,12 @@ def split_device_pipeline(
     geometry op now run after it — a distribution-level equivalence (see
     module docstring). Returns (augment_cfg, []) when nothing lifts.
     """
+    # to_tensor_without_div pipelines feed the device stage float32 0..255
+    # batches; the lifted ops assume uint8 input semantics, and a silent
+    # no-op there would drop every lifted augment (ADVICE r4 high) — keep
+    # the whole pipeline on host instead.
+    if any(_item_name(i) == "to_tensor_without_div" for i in augment_cfg or []):
+        return list(augment_cfg or []), []
     host: List[Any] = []
     device: List[Any] = []
     for item in augment_cfg or []:
@@ -906,11 +912,48 @@ def make_device_augment(device_cfg: List[Any]) -> Optional[Callable[[Array, Arra
 
     def batch_fn(key: Array, images: Array) -> Array:
         if images.dtype != jnp.uint8:
-            return images  # to_tensor_without_div path: augments stay host
+            # split_device_pipeline never lifts for non-uint8-producing host
+            # pipelines (to_tensor_without_div); reaching here means a host
+            # path fed the wrong dtype — failing loudly beats silently
+            # skipping every lifted augment (ADVICE r4 high).
+            raise TypeError(
+                f"device augment stage expects a uint8 batch, got "
+                f"{images.dtype}; the host pipeline that produced this batch "
+                f"should not have had its augments lifted"
+            )
         keys = jax.random.split(key, images.shape[0])
         return jax.vmap(sample_fn)(keys, images)
 
     return batch_fn
+
+
+def set_device_pipeline_size(device_cfg: List[Any], size: int) -> bool:
+    """Progressive resolution for the LIFTED stage: rewrite static spatial
+    sizes carried by device ops (today only ``random_crop``), mirroring what
+    ``data.transforms.set_pipeline_size`` does to the host pipeline. Without
+    this a lifted random_crop keeps its full-resolution size and
+    ``lax.dynamic_slice``s beyond the shrunken operand at the first
+    progressive milestone (ADVICE r4 medium). Mutates ``device_cfg`` in
+    place; returns True when anything changed (caller must then rebuild the
+    compiled fn via ``make_device_augment``)."""
+    changed = False
+
+    def _walk(items: List[Any]) -> None:
+        nonlocal changed
+        for i, item in enumerate(items):
+            name = _item_name(item)
+            if name == "random_choice":
+                _walk((_item_params(item) or {}).get("transforms", []))
+            elif name == "random_crop":
+                params = _item_params(item)
+                if isinstance(params, dict):
+                    params["size"] = size
+                else:
+                    items[i] = {"random_crop": {"size": size}}
+                changed = True
+
+    _walk(device_cfg or [])
+    return changed
 
 
 def describe_split(host_cfg: List[Any], device_cfg: List[Any]) -> str:

@@ -187,7 +187,22 @@ def initialize_distributed(
     single-host mesh when the user asked for multi-host corrupts results.
     The one swallowed case: no arguments AND no auto-discoverable cluster
     environment, i.e. an intentional single-process run.
+
+    Clusters without TPU/Slurm/MPI auto-detection pass the coordinates via
+    env (the torchrun MASTER_ADDR/WORLD_SIZE/RANK analogue):
+    ``VDK_COORDINATOR_ADDRESS`` / ``VDK_NUM_PROCESSES`` / ``VDK_PROCESS_ID``.
+    Explicit arguments win over env. Exercised for real by the 2-process CPU
+    test in tests/test_distributed_2proc.py.
     """
+    import os
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("VDK_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("VDK_NUM_PROCESSES"):
+        num_processes = int(os.environ["VDK_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("VDK_PROCESS_ID"):
+        process_id = int(os.environ["VDK_PROCESS_ID"])
+
     def _log(msg: str) -> None:
         if logger is not None:
             logger.both(msg) if hasattr(logger, "both") else logger.info(msg)
