@@ -539,3 +539,117 @@ def test_train_step_with_device_augment():
     _, m_plain = step_plain(state, batch, lam)
     assert float(m_aug["loss"]) == pytest.approx(float(m_aug2["loss"]))
     assert float(m_aug["loss"]) != pytest.approx(float(m_plain["loss"]), rel=1e-6)
+
+
+# ------------------------------------------------------------- group execution
+
+
+def test_group_mode_deterministic_and_per_sample_draws():
+    """Group-scan execution (round 5): deterministic per key, per-sample
+    draws still differ within a group for elementwise ops."""
+    cfg = [{"random_color_jitter": {"brightness": 0.4}}, {"random_horizonflip": {"p": 0.5}}]
+    fn = da.make_device_augment(cfg, group_size=4)
+    imgs = jnp.asarray(
+        np.random.default_rng(1).integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    )
+    o1 = np.asarray(jax.jit(fn)(jax.random.key(5), imgs))
+    o2 = np.asarray(jax.jit(fn)(jax.random.key(5), imgs))
+    o3 = np.asarray(jax.jit(fn)(jax.random.key(6), imgs))
+    assert o1.dtype == np.uint8 and o1.shape == imgs.shape
+    assert np.array_equal(o1, o2) and not np.array_equal(o1, o3)
+    # identical rows inside ONE group still get different jitter draws
+    same = jnp.asarray(np.broadcast_to(np.asarray(imgs[0]), imgs.shape))
+    os_ = np.asarray(jax.jit(fn)(jax.random.key(7), same))
+    assert any(not np.array_equal(os_[i], os_[0]) for i in range(1, 4))
+
+
+def test_group_choice_shares_branch_within_group():
+    """random_choice draws once per group: with two maximally-distinct
+    branches (invert vs identity-ish flip p=0), all samples of a group land
+    on the same branch."""
+    cfg = [{"random_choice": {"transforms": [
+        {"random_invert": {"p": 1.0}},
+        {"random_horizonflip": {"p": 0.0}},
+    ]}}]
+    fn = da.make_device_augment(cfg, group_size=4)
+    base = np.full((8, 8, 8, 3), 10, np.uint8)
+    out = np.asarray(fn(jax.random.key(0), jnp.asarray(base)))
+    for g in range(2):
+        grp = out[g * 4:(g + 1) * 4]
+        inverted = (grp == 245).all()
+        identity = (grp == 10).all()
+        assert inverted or identity, grp[..., 0, 0]
+
+
+def test_group_size_one_is_per_sample():
+    """group_size=1: every sample draws its own branch (exact reference
+    semantics) — across 32 samples both branches must appear."""
+    cfg = [{"random_choice": {"transforms": [
+        {"random_invert": {"p": 1.0}},
+        {"random_horizonflip": {"p": 0.0}},
+    ]}}]
+    fn = da.make_device_augment(cfg, group_size=1)
+    base = np.full((32, 4, 4, 3), 10, np.uint8)
+    out = np.asarray(fn(jax.random.key(1), jnp.asarray(base)))
+    per_sample = out.reshape(32, -1)
+    kinds = {tuple(np.unique(r)) for r in per_sample}
+    assert (10,) in kinds and (245,) in kinds
+
+
+def test_group_augmix_and_randaugment_run():
+    """Group variants of the heavy composite ops compile and produce valid
+    uint8 output (the pet.yaml chain shape)."""
+    cfg = [
+        {"random_choice": {"transforms": [
+            {"random_augmix": {"severity": 3}},
+            {"random_augment": {"num_ops": 2, "magnitude": 9}},
+            {"random_rotate": {"degrees": 10}},
+        ]}},
+        {"random_horizonflip": {"p": 0.5}},
+    ]
+    fn = da.make_device_augment(cfg, group_size=4)
+    imgs = jnp.asarray(
+        np.random.default_rng(3).integers(0, 256, (8, 24, 24, 3), dtype=np.uint8)
+    )
+    out = np.asarray(jax.jit(fn)(jax.random.key(2), imgs))
+    assert out.shape == imgs.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, np.asarray(imgs))
+
+
+def test_group_mode_sharded_runs(mesh8):
+    """Under a live sharded mesh the stage runs per device via shard_map —
+    same shape/dtype, deterministic, executes without SPMD errors."""
+    from visiondk_tpu.parallel.mesh import with_current_mesh
+
+    cfg = [{"random_choice": {"transforms": [
+        {"random_invert": {"p": 1.0}},
+        {"random_color_jitter": {"brightness": 0.3}},
+    ]}}, {"random_horizonflip": {"p": 0.5}}]
+    imgs = jnp.asarray(
+        np.random.default_rng(4).integers(0, 256, (16, 16, 16, 3), dtype=np.uint8)
+    )
+    with with_current_mesh(mesh8.mesh):
+        fn = da.make_device_augment(cfg, group_size=2)
+        sharded = jax.device_put(imgs, mesh8.batch)
+        o1 = np.asarray(jax.jit(fn)(jax.random.key(9), sharded))
+        o2 = np.asarray(jax.jit(fn)(jax.random.key(9), sharded))
+    assert o1.shape == imgs.shape and o1.dtype == np.uint8
+    assert np.array_equal(o1, o2)
+
+
+def test_affine_transform_group_matches_per_sample(grad_img):
+    """affine_transform_group (shared matrix, batched-minor gather) must be
+    bit-equal to the per-sample affine_transform for the same matrix."""
+    imgs = np.stack([grad_img, grad_img[::-1].copy(), 255 - grad_img], 0).astype(np.float32)
+    jimgs = jnp.asarray(imgs)
+    for interp in ("bilinear", "nearest"):
+        m = da.inverse_affine_matrix((64, 48), 12.0, (2.0, 1.0), 1.1, (5.0, -3.0))
+        grp = np.asarray(da.affine_transform_group(jimgs, m, interp))
+        ref = np.stack(
+            [np.asarray(da.affine_transform(jimgs[i], m, interp)) for i in range(3)], 0
+        )
+        assert np.array_equal(grp, ref), interp
+    # rotate_group == rotate at the same angle
+    grp = np.asarray(da.rotate_group(jimgs, 33.0))
+    ref = np.stack([np.asarray(da.rotate(jimgs[i], 33.0)) for i in range(3)], 0)
+    assert np.array_equal(grp, ref)

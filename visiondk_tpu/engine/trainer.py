@@ -112,6 +112,12 @@ class CenterProcessor:
         # per-pixel randomized ops run jitted on the batch inside the train
         # step; active only in epochs where train augments are live
         self.device_augment_fn = None
+        # group_size: branch draws per group of N samples (1 = exact
+        # per-sample reference semantics, None = legacy vmapped form; see
+        # ops/device_augment.make_device_augment)
+        self.device_augment_group_size = self.data_cfg["train"].get(
+            "device_augment_group_size", 8
+        )
         if train and self.data_processor.device_augment_cfg:
             from visiondk_tpu.ops.device_augment import (
                 describe_split,
@@ -119,7 +125,8 @@ class CenterProcessor:
             )
 
             self.device_augment_fn = make_device_augment(
-                self.data_processor.device_augment_cfg
+                self.data_processor.device_augment_cfg,
+                group_size=self.device_augment_group_size,
             )
             if primary:
                 self.logger.both(
@@ -364,7 +371,8 @@ class CenterProcessor:
                         )
 
                         self.device_augment_fn = make_device_augment(
-                            dp.device_augment_cfg
+                            dp.device_augment_cfg,
+                            group_size=self.device_augment_group_size,
                         )
                         # drop every cached step (they closed over the old
                         # fn; their old-shape jit traces are dead after the

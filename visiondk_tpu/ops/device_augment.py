@@ -286,6 +286,62 @@ def affine_transform(
     return jnp.where(inside[..., None], out, fill)
 
 
+def affine_transform_group(
+    imgs: Array,
+    matrix: Sequence[Array],
+    interpolation: str = "bilinear",
+    fill: float = 0.0,
+) -> Array:
+    """``affine_transform`` for a group [N,H,W,C] with one SHARED matrix.
+
+    Why it exists: the per-sample form's ``img[yi, xi]`` is a per-pixel 2D
+    gather, which the TPU executes element-at-a-time — measured **250 ms per
+    bs-128 batch** for one rotate at 224px (benchmarks/device_aug_micro.py).
+    With a group-shared matrix the taps are identical across the group, so
+    the batch+channel dims ride the gather's contiguous minor dimension
+    ([H·W, N·C] rows): same PIL sampling math, ~2 orders of magnitude fewer
+    index operations."""
+    n, h, w, c = imgs.shape
+    a, b, c0, d, e, f = [jnp.asarray(m, jnp.float32) for m in matrix]
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    xx = xs.astype(jnp.float32) + 0.5
+    yy = ys.astype(jnp.float32) + 0.5
+    xin = a * xx + b * yy + c0
+    yin = d * xx + e * yy + f
+    inside = (xin >= 0) & (xin < w) & (yin >= 0) & (yin < h)
+    flat = imgs.transpose(1, 2, 0, 3).reshape(h * w, n * c)
+
+    def tap(yi: Array, xi: Array) -> Array:
+        return jnp.take(flat, (yi * w + xi).reshape(-1), axis=0)  # [HW, N·C]
+
+    if interpolation == "nearest":
+        xi = jnp.clip(jnp.floor(xin), 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(jnp.floor(yin), 0, h - 1).astype(jnp.int32)
+        out = tap(yi, xi)
+    else:
+        xf = xin - 0.5
+        yf = yin - 0.5
+        x0 = jnp.floor(xf)
+        y0 = jnp.floor(yf)
+        wx = xf - x0
+        wy = yf - y0
+        out = jnp.zeros((h * w, n * c), imgs.dtype)
+        for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            yi = jnp.clip(y0 + dy, 0, h - 1).astype(jnp.int32)
+            xi = jnp.clip(x0 + dx, 0, w - 1).astype(jnp.int32)
+            wgt = (wx if dx else 1.0 - wx) * (wy if dy else 1.0 - wy)
+            out = out + wgt.reshape(-1, 1) * tap(yi, xi)
+        out = jnp.clip(jnp.floor(out + 0.5), 0.0, 255.0)
+    out = out.reshape(h, w, n, c).transpose(2, 0, 1, 3)
+    return jnp.where(inside[None, ..., None], out, fill)
+
+
+def rotate_group(imgs: Array, angle: Array, interpolation: str = "bilinear") -> Array:
+    """``rotate`` for a group with one shared angle (see affine_transform_group)."""
+    m = inverse_affine_matrix(imgs.shape[1:3], -jnp.asarray(angle, jnp.float32))
+    return affine_transform_group(imgs, m, interpolation)
+
+
 def inverse_affine_matrix(
     size: Tuple[int, int],
     angle: Array,
@@ -797,6 +853,267 @@ _COMPILERS: Dict[str, Callable[..., SampleFn]] = {
 }
 
 
+GroupFn = Callable[[Array, Array], Array]  # (key, imgs f32 [N,H,W,C]) -> imgs
+
+
+def _vmap_group(fn: SampleFn) -> GroupFn:
+    """Lift a sample-level op to a group: independent per-sample keys, so
+    elementwise/per-sample draws keep exact reference semantics."""
+
+    def gfn(key: Array, imgs: Array) -> Array:
+        return jax.vmap(fn)(jax.random.split(key, imgs.shape[0]), imgs)
+
+    return gfn
+
+
+def _compile_group(name: str, params: Any) -> GroupFn:
+    """Group-level compiler: branch CHOICES (random_choice / AugMix /
+    RandAugment op draws) are made once per group and dispatched through a
+    real ``lax.switch`` — outside any vmap, only the chosen branch executes.
+    Everything else is the vmapped sample op (per-sample draws unchanged).
+
+    Why: ``vmap(lax.switch)`` lowers to select-over-all-branches, so the
+    per-sample choice semantics execute EVERY branch for EVERY sample — the
+    pet.yaml chain (7-way photometric choice incl. AugMix, itself 9 nested
+    6-way switches) measured 8.5 s/step on a v5e at bs 128 (~15 img/s).
+    Group-level switch executes one branch per group: exact per-sample
+    semantics at group_size=1, and at group_size>1 a documented
+    distribution-level trade (docs/PARITY.md) — samples sharing a group
+    share the branch draw (not the branch's internal per-sample draws).
+    """
+    if name == "random_choice":
+        inner = [
+            _compile_group(*next(iter(t.items()))) for t in params["transforms"]
+        ]
+        p = params.get("p")
+        w = jnp.asarray(
+            [1.0] * len(inner) if p is None else [float(x) for x in p], jnp.float32
+        )
+
+        def choice_fn(key: Array, imgs: Array) -> Array:
+            kc, kf = jax.random.split(key)
+            idx = jax.random.choice(kc, len(inner), p=w / jnp.sum(w))
+            return jax.lax.switch(idx, inner, kf, imgs)
+
+        return choice_fn
+    if name == "random_augmix":
+        return _c_group_augmix(**(params if isinstance(params, dict) else {}))
+    if name == "random_augment":
+        return _c_group_randaugment(**(params if isinstance(params, dict) else {}))
+    if name == "random_rotate":
+        return _c_group_rotate(**(params if isinstance(params, dict) else {}))
+    if name == "random_affine":
+        return _c_group_affine(**(params if isinstance(params, dict) else {}))
+    return _vmap_group(_compile_one(name, params))
+
+
+def _c_group_rotate(degrees=10.0, expand: bool = False) -> GroupFn:
+    """random_rotate with a per-GROUP angle via the shared-index resampler
+    (per-sample angles force per-pixel 2D gathers: 250 ms/bs-128 measured)."""
+    if expand:
+        raise _NotLiftable("random_rotate(expand=True) changes the output shape")
+    lo, hi = (
+        (-float(degrees), float(degrees))
+        if isinstance(degrees, (int, float))
+        else (float(degrees[0]), float(degrees[1]))
+    )
+
+    def fn(key: Array, imgs: Array) -> Array:
+        angle = jax.random.uniform(key, minval=lo, maxval=hi)
+        return rotate_group(imgs, angle)
+
+    return fn
+
+
+def _c_group_affine(degrees=0.0, translate=0.0, scale=0.0, shear=0.0, fill=0,
+                    center=None) -> GroupFn:
+    """random_affine with per-GROUP parameter draws (same reason as rotate)."""
+    deg = (
+        (-float(degrees), float(degrees))
+        if isinstance(degrees, (int, float))
+        else tuple(float(d) for d in degrees)
+    )
+    trans = tuple(translate) if isinstance(translate, (list, tuple)) else None
+    sc = tuple(scale) if isinstance(scale, (list, tuple)) else None
+    if isinstance(shear, (int, float)):
+        sh = (-float(shear), float(shear), 0.0, 0.0) if shear else (0.0, 0.0, 0.0, 0.0)
+    elif len(shear) == 2:
+        sh = (float(shear[0]), float(shear[1]), 0.0, 0.0)
+    else:
+        sh = tuple(float(s) for s in shear)
+    fill_v = float(fill if isinstance(fill, (int, float)) else fill[0])
+    ctr = tuple(center) if center is not None else None
+
+    def fn(key: Array, imgs: Array) -> Array:
+        h, w = imgs.shape[1:3]
+        ka, kt, ks, ksh = jax.random.split(key, 4)
+        angle = jax.random.uniform(ka, minval=deg[0], maxval=deg[1])
+        if trans is not None:
+            kx, ky = jax.random.split(kt)
+            dx = jnp.floor(
+                jax.random.uniform(kx, minval=-trans[0] * w, maxval=trans[0] * w) + 0.5
+            )
+            dy = jnp.floor(
+                jax.random.uniform(ky, minval=-trans[1] * h, maxval=trans[1] * h) + 0.5
+            )
+        else:
+            dx = dy = jnp.float32(0.0)
+        scl = (
+            jax.random.uniform(ks, minval=sc[0], maxval=sc[1]) if sc is not None
+            else jnp.float32(1.0)
+        )
+        k1, k2 = jax.random.split(ksh)
+        shx = jax.random.uniform(k1, minval=sh[0], maxval=sh[1])
+        shy = jax.random.uniform(k2, minval=sh[2], maxval=sh[3])
+        m = inverse_affine_matrix((h, w), angle, (dx, dy), scl, (shx, shy), ctr)
+        return affine_transform_group(imgs, m, "bilinear", fill_v)
+
+    return fn
+
+
+def _c_group_augmix(severity: int = 3, width: int = 3, alpha: float = 1.0) -> GroupFn:
+    """AugMix with group-level op/depth draws and per-sample mixing weights:
+    ws ~ Dirichlet and m ~ Beta stay per sample (cheap, elementwise); the
+    chain's op choices and depth are drawn per group and run through real
+    switch/cond so only the chosen ops execute (vs 9×6 select-all evals per
+    sample in the vmapped form)."""
+    s = int(severity)
+    width = int(width)
+    alpha = float(alpha)
+
+    def group_op_switch(key: Array, imgs: Array) -> Array:
+        kc, kp = jax.random.split(key)
+        choice = jax.random.randint(kc, (), 0, 6)
+
+        def per_sample(fn):
+            return lambda k, im: jax.vmap(fn)(jax.random.split(k, im.shape[0]), im)
+
+        branches = [
+            lambda k, im: jax.vmap(autocontrast)(im),
+            lambda k, im: jax.vmap(equalize)(im),
+            lambda k, im: jax.vmap(lambda x: posterize(x, max(8 - s, 1)))(im),
+            # rotation angle per GROUP: per-sample angles force per-pixel
+            # 2D gathers (250 ms/bs-128, benchmarks/device_aug_micro.py)
+            lambda k, im: rotate_group(
+                im, jax.random.uniform(k, minval=-3.0 * s, maxval=3.0 * s)
+            ),
+            lambda k, im: jax.vmap(lambda x: solarize(x, jnp.float32(256 - 26 * s)))(im),
+            per_sample(
+                lambda k, x: adjust_sharpness(x, jax.random.uniform(k, minval=0.1, maxval=1.9))
+            ),
+        ]
+        return jax.lax.switch(choice, branches, kp, imgs)
+
+    def fn(key: Array, imgs: Array) -> Array:
+        n = imgs.shape[0]
+        kws, kb, kc = jax.random.split(key, 3)
+        ws = jax.random.dirichlet(kws, jnp.full((width,), alpha), shape=(n,))  # [n,w]
+        m = jax.random.beta(kb, alpha, alpha, shape=(n,))
+        mix = jnp.zeros_like(imgs)
+        keys = jax.random.split(kc, width)
+        for i in range(width):
+            kd, kops = jax.random.split(keys[i])
+            depth = jax.random.randint(kd, (), 1, 4)  # host randint(1,3) inclusive
+            aug = imgs
+            opkeys = jax.random.split(kops, 3)
+            for d in range(3):
+                aug = jax.lax.cond(
+                    d < depth,
+                    lambda a, k=opkeys[d]: group_op_switch(k, a),
+                    lambda a: a,
+                    aug,
+                )
+            mix = mix + ws[:, i, None, None, None] * aug
+        mm = m[:, None, None, None]
+        out = (1.0 - mm) * imgs + mm * mix
+        # host: np.clip(out, 0, 255).astype(np.uint8) — truncation
+        return jnp.floor(jnp.clip(out, 0.0, 255.0))
+
+    return fn
+
+
+def _c_group_randaugment(
+    num_ops: int = 2, magnitude: int = 9, num_magnitude_bins: int = 31
+) -> GroupFn:
+    """RandAugment with group-level op draws (per-sample magnitudes/signs
+    stay per sample inside the chosen branch)."""
+    num_ops = int(num_ops)
+    magnitude = int(magnitude)
+    bins = int(num_magnitude_bins)
+    t = magnitude / (bins - 1)
+    post_bits = 8 - int(round(magnitude / ((bins - 1) / 4)))
+
+    def build_branches(h: int, w: int):
+        mag_shear = 0.3 * t
+        mag_tx = 150.0 / 331.0 * w * t
+        mag_ty = 150.0 / 331.0 * h * t
+        mag_rot = 30.0 * t
+        mag_enh = 0.9 * t
+        sol_thresh = 255.0 * (1.0 - t)
+
+        def signed(k, mag):
+            return jnp.where(jax.random.uniform(k) < 0.5, -mag, mag)
+
+        # geometry branches draw their sign per GROUP and resample through
+        # the shared-index path (per-sample 2D gathers: 250 ms/bs-128)
+        def shear(axis):
+            def op(k, im):
+                m = signed(k, mag_shear)
+                deg = jnp.rad2deg(jnp.arctan(m))
+                sh = (deg, jnp.float32(0.0)) if axis == 0 else (jnp.float32(0.0), deg)
+                mat = inverse_affine_matrix((h, w), 0.0, (0.0, 0.0), 1.0, sh, (0, 0))
+                return affine_transform_group(im, mat, "nearest")
+
+            return op
+
+        def translate(axis):
+            def op(k, im):
+                m = jnp.floor(signed(k, mag_tx if axis == 0 else mag_ty) + 0.5)
+                tr = (m, jnp.float32(0.0)) if axis == 0 else (jnp.float32(0.0), m)
+                mat = inverse_affine_matrix((h, w), 0.0, tr, 1.0, (0.0, 0.0))
+                return affine_transform_group(im, mat, "nearest")
+
+            return op
+
+        sample_branches = [
+            lambda k, im: im,  # Identity
+            lambda k, im: adjust_brightness(im, 1.0 + signed(k, mag_enh)),
+            lambda k, im: adjust_saturation(im, 1.0 + signed(k, mag_enh)),
+            lambda k, im: adjust_contrast(im, 1.0 + signed(k, mag_enh)),
+            lambda k, im: adjust_sharpness(im, 1.0 + signed(k, mag_enh)),
+            lambda k, im: posterize(im, max(post_bits, 0)),
+            lambda k, im: solarize(im, jnp.float32(int(sol_thresh))),
+            lambda k, im: autocontrast(im),
+            lambda k, im: equalize(im),
+        ]
+        group_branches = [
+            shear(0),
+            shear(1),
+            translate(0),
+            translate(1),
+            lambda k, im: rotate_group(im, signed(k, mag_rot), "nearest"),
+        ]
+        # torchvision order: Identity, ShearX/Y, TranslateX/Y, Rotate, then
+        # the photometric ops (uniform draw over all 14)
+        return (
+            [_vmap_group(sample_branches[0])]
+            + group_branches
+            + [_vmap_group(b) for b in sample_branches[1:]]
+        )
+
+    def fn(key: Array, imgs: Array) -> Array:
+        h, w = imgs.shape[1:3]
+        branches = build_branches(h, w)
+        keys = jax.random.split(key, num_ops)
+        for i in range(num_ops):
+            kc, kp = jax.random.split(keys[i])
+            op_idx = jax.random.randint(kc, (), 0, len(branches))
+            imgs = jax.lax.switch(op_idx, branches, kp, imgs)
+        return imgs
+
+    return fn
+
+
 def _compile_one(name: str, params: Any) -> SampleFn:
     if name == "random_choice":
         inner = [
@@ -893,22 +1210,78 @@ def split_device_pipeline(
     return host, device
 
 
-def make_device_augment(device_cfg: List[Any]) -> Optional[Callable[[Array, Array], Array]]:
+def _largest_group_count(batch: int, group_size: int) -> int:
+    """Number of groups: the largest divisor-of-batch group size that is
+    ≤ ``group_size`` wins (static shapes need groups × size == batch)."""
+    size = max(min(group_size, batch), 1)
+    while batch % size:
+        size -= 1
+    return batch // size
+
+
+def make_device_augment(
+    device_cfg: List[Any], group_size: Optional[int] = 8
+) -> Optional[Callable[[Array, Array], Array]]:
     """Compile a lifted device spec into ``fn(key, uint8 [B,H,W,3]) -> uint8``.
 
-    Per-sample keys come from one split of ``key``; each op folds its index so
+    Execution model (TPU-native): the batch is split into groups of
+    ``group_size`` consecutive samples and a ``lax.scan`` walks the groups,
+    applying the op chain with REAL ``lax.switch`` control flow — only the
+    drawn branch of a random_choice/AugMix/RandAugment executes. The naive
+    per-sample form (``group_size=None``, vmap over samples) lowers every
+    switch to select-over-all-branches and measured 8.5 s/step for the
+    pet.yaml chain at bs 128 on a v5e (~560× the geometry-only stage).
+
+    - ``group_size=1``: exact reference semantics (every sample draws its own
+      branch) — scan length B.
+    - ``group_size>1`` (default 8): samples in a group share BRANCH draws
+      (per-sample draws inside the branch are unchanged); the loader's
+      epoch-seeded shuffle re-forms groups every epoch. Documented
+      distribution-level trade, docs/PARITY.md "Known intentional
+      differences". Config knob: ``data.train.device_augment_group_size``.
+    - ``group_size=None``: legacy vmapped per-sample form (kept for A/B).
+
+    When a mesh with a sharded 'data' axis is live (parallel.mesh
+    .current_mesh), the stage runs under ``shard_map`` so the scan walks
+    per-device LOCAL groups in parallel (a global scan would serialize
+    devices: each group lives on one device). Keys fold in the device index.
+    Per-group keys come from one split of ``key``; each op folds its index so
     adding/removing ops doesn't correlate draws. The fn is shape-polymorphic
     across (progressive-resize) input sizes — jit re-traces per shape.
     """
     if not device_cfg:
         return None
-    ops = [_compile_one(_item_name(i), _item_params(i)) for i in device_cfg]
 
-    def sample_fn(key: Array, img_u8: Array) -> Array:
-        img = img_u8.astype(jnp.float32)
-        for i, op in enumerate(ops):
-            img = op(jax.random.fold_in(key, i), img)
-        return jnp.clip(jnp.round(img), 0.0, 255.0).astype(jnp.uint8)
+    if group_size is None:
+        ops = [_compile_one(_item_name(i), _item_params(i)) for i in device_cfg]
+
+        def sample_fn(key: Array, img_u8: Array) -> Array:
+            img = img_u8.astype(jnp.float32)
+            for i, op in enumerate(ops):
+                img = op(jax.random.fold_in(key, i), img)
+            return jnp.clip(jnp.round(img), 0.0, 255.0).astype(jnp.uint8)
+
+        def augment_local(key: Array, images: Array) -> Array:
+            keys = jax.random.split(key, images.shape[0])
+            return jax.vmap(sample_fn)(keys, images)
+    else:
+        gops = [_compile_group(_item_name(i), _item_params(i)) for i in device_cfg]
+
+        def augment_local(key: Array, images: Array) -> Array:
+            b, h, w, c = images.shape
+            n_groups = _largest_group_count(b, group_size)
+            x = images.astype(jnp.float32).reshape(n_groups, b // n_groups, h, w, c)
+            keys = jax.random.split(key, n_groups)
+
+            def body(carry, kx):
+                k, imgs = kx
+                for i, op in enumerate(gops):
+                    imgs = op(jax.random.fold_in(k, i), imgs)
+                return carry, imgs
+
+            _, y = jax.lax.scan(body, None, (keys, x))
+            out = jnp.clip(jnp.round(y), 0.0, 255.0).astype(jnp.uint8)
+            return out.reshape(b, h, w, c)
 
     def batch_fn(key: Array, images: Array) -> Array:
         if images.dtype != jnp.uint8:
@@ -921,8 +1294,25 @@ def make_device_augment(device_cfg: List[Any]) -> Optional[Callable[[Array, Arra
                 f"{images.dtype}; the host pipeline that produced this batch "
                 f"should not have had its augments lifted"
             )
-        keys = jax.random.split(key, images.shape[0])
-        return jax.vmap(sample_fn)(keys, images)
+        from visiondk_tpu.parallel.mesh import current_mesh
+
+        mesh = current_mesh()
+        if mesh is not None and dict(mesh.shape).get("data", 1) > 1:
+            from jax.sharding import PartitionSpec as P
+
+            def local(k: Array, im: Array) -> Array:
+                return augment_local(
+                    jax.random.fold_in(k, jax.lax.axis_index("data")), im
+                )
+
+            return jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(), P("data")),
+                out_specs=P("data"),
+                check_vma=False,
+            )(key, images)
+        return augment_local(key, images)
 
     return batch_fn
 
