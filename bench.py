@@ -246,21 +246,42 @@ PIPELINE_AUG = [
 ]
 
 
-def run_pipeline(batch=128, steps=20, warmup=2, workers=8, device_aug=False,
-                 native=False):
-    """End-to-end train throughput fed by the REAL input pipeline
-    (disk JPEG → DataLoader host decode+augment → device step), next to a
-    loader-only drain. On this one-core dev host the loader ceiling is
-    ~100 img/s (BASELINE.md) — the point is proving compute/loader overlap:
-    train-fed throughput ≈ loader-only throughput.
+def h2d_probe(n=6, batch=128):
+    """Tunnel/PCIe H2D ceiling of THIS moment: completion rate of ``n``
+    consecutive uint8 batch transfers (MB/s). The dev-chip tunnel link drifts
+    18–32 MB/s across a day — which IS the pipeline-fed throughput ceiling
+    (124–214 img/s at bs-128/224px batches), so every trial records the
+    concurrently-measured ceiling next to its img/s (BASELINE.md round 5)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    ``device_aug=True`` applies the round-4 split: the photometric/occlusion
-    ops lift onto the TPU (ops/device_augment) and the host keeps
-    decode + crop/resize only — the A/B for VERDICT item 2/8.
+    rng = np.random.default_rng(3)
+    bufs = [rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8) for _ in range(2)]
+    mb = bufs[0].nbytes / 1e6
+    x = jax.device_put(bufs[0])  # warm the path
+    float(jnp.asarray(x).ravel()[0])
+    outs = []
+    t0 = time.perf_counter()
+    for i in range(n):
+        outs.append(jax.device_put(bufs[i % 2]))
+    float(jnp.stack([o.ravel()[0].astype(jnp.float32) for o in outs]).sum())
+    return n * mb / (time.perf_counter() - t0)
 
-    ``native=True`` additionally serves the post-split host stage from the
-    C++ decode pool (NativeTrainLoader, the loader SmartDataProcessor picks
-    in production when the stage is native-eligible).
+
+def pipeline_setup(batch=128, steps=20, warmup=2, workers=8, device_aug=False,
+                   native=False):
+    """Build one pipeline variant (loader + jitted step) and return a
+    ``measure()`` closure so ``--pipeline-ab`` can interleave repeated trials
+    of all variants within one process (the tunnel H2D ceiling and the
+    one-core host both drift minute-to-minute — back-to-back variant blocks
+    would confound variant with weather).
+
+    Variants: ``device_aug=True`` applies the round-4 split (photometric /
+    occlusion ops lift into the jitted step, host keeps decode+crop/resize);
+    ``native=True`` additionally serves the host stage from the C++ decode
+    pool (NativeTrainLoader — the loader SmartDataProcessor picks in
+    production when the stage is native-eligible).
     """
     import jax
     import jax.numpy as jnp
@@ -290,6 +311,8 @@ def run_pipeline(batch=128, steps=20, warmup=2, workers=8, device_aug=False,
             ds, batch, shuffle=True, drop_last=True, num_workers=workers, prefetch=6
         )
 
+    state_box = [None]  # built lazily on first measure(); reused after
+
     def batches(n):
         epoch = 0
         got = 0
@@ -302,31 +325,49 @@ def run_pipeline(batch=128, steps=20, warmup=2, workers=8, device_aug=False,
                     return
             epoch += 1
 
-    # loader-only drain — one untimed epoch first so the page cache and
-    # thread pool are warm (matching the train-fed pass's conditions)
-    for b in batches(2):
-        pass
-    t0 = time.perf_counter()
-    for b in batches(steps):
-        pass
-    loader_ips = batch * steps / (time.perf_counter() - t0)
+    def measure():
+        # loader-only drain — one untimed pass first so the page cache and
+        # thread pool are warm (matching the train-fed pass's conditions)
+        for b in batches(2):
+            pass
+        t0 = time.perf_counter()
+        for b in batches(steps):
+            pass
+        loader_ips = batch * steps / (time.perf_counter() - t0)
 
-    # loader + train, overlap measured as device-wait fraction
-    state, step, *_ = build(batch, device_augment=augment_fn)
-    lam = jnp.float32(0.0)
-    n = 0
-    t_start = None
-    for i, b in enumerate(batches(steps + warmup)):
-        dev = jax.device_put({"image": jnp.asarray(b["image"]), "label": jnp.asarray(b["label"])})
-        state, m = step(state, dev, lam)
-        if i == warmup - 1:
-            float(m["loss"])  # flush warmup/compile before timing
-            t_start = time.perf_counter()
-        elif i >= warmup:
-            n += 1
-    float(m["loss"])
-    total = time.perf_counter() - t_start
-    train_ips = batch * n / total
+        if state_box[0] is None:
+            state, step, *_ = build(batch, device_augment=augment_fn)
+            state_box[0] = (state, step)
+        state, step = state_box[0]
+        lam = jnp.float32(0.0)
+        n = 0
+        t_start = None
+        for i, b in enumerate(batches(steps + warmup)):
+            dev = jax.device_put(
+                {"image": jnp.asarray(b["image"]), "label": jnp.asarray(b["label"])}
+            )
+            state, m = step(state, dev, lam)
+            if i == warmup - 1:
+                float(m["loss"])  # flush warmup/compile before timing
+                t_start = time.perf_counter()
+            elif i >= warmup:
+                n += 1
+        float(m["loss"])
+        state_box[0] = (state, step)
+        total = time.perf_counter() - t_start
+        return batch * n / total, loader_ips
+
+    return measure
+
+
+def run_pipeline(batch=128, steps=20, warmup=2, workers=8, device_aug=False,
+                 native=False):
+    """One-shot variant of ``pipeline_setup``: end-to-end train throughput fed
+    by the REAL input pipeline (disk JPEG → DataLoader host decode+augment →
+    device step) next to a loader-only drain, printed as one JSON line."""
+    train_ips, loader_ips = pipeline_setup(
+        batch, steps, warmup, workers, device_aug, native
+    )()
     tag = "device-aug" if device_aug else "host-aug"
     if native:
         tag += "+native"
@@ -377,21 +418,57 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
         run(batch=8, train_iters=3, embed_iters=3, warmup=1)
     elif "--pipeline-ab" in sys.argv:
-        # A/B/C: full-host augments vs device-augment split (VERDICT item
-        # 8) vs split + C++ native decode (the production loader choice)
-        host_ips, _ = _with_retries(lambda: run_pipeline(device_aug=False))
-        dev_ips, _ = _with_retries(lambda: run_pipeline(device_aug=True))
-        nat_ips, _ = _with_retries(
-            lambda: run_pipeline(device_aug=True, native=True)
-        )
-        print(json.dumps({
-            "metric": "pipeline A/B device-aug+native speedup",
-            "value": round(nat_ips, 2),
+        # A/B/C: full-host augments vs device-augment split vs split + C++
+        # native decode (the production loader choice). K interleaved trials
+        # (A,B,C, A,B,C, …) with a concurrent H2D-ceiling probe per round:
+        # the one-core host and the tunnel link both drift, so medians + IQR
+        # over interleaved rounds are the only comparable numbers (round-5
+        # VERDICT item 3 — single-run values swung 30% run-to-run).
+        k = 5
+        for a in sys.argv:
+            if a.startswith("--trials="):
+                k = int(a.split("=", 1)[1])
+        variants = [
+            ("host_aug", dict(device_aug=False)),
+            ("device_aug", dict(device_aug=True)),
+            ("device_aug_native", dict(device_aug=True, native=True)),
+        ]
+        measures = {n: pipeline_setup(**kw) for n, kw in variants}
+        fed = {n: [] for n, _ in variants}
+        drain = {n: [] for n, _ in variants}
+        h2d = []
+        for n, _ in variants:  # untimed warmup round: compiles + page cache
+            _with_retries(measures[n])
+        for t in range(k):
+            h2d.append(_with_retries(h2d_probe))
+            for n, _ in variants:
+                ips, d = _with_retries(measures[n])
+                fed[n].append(ips)
+                drain[n].append(d)
+                print(f"# trial {t + 1}/{k} {n}: {ips:.1f} img/s "
+                      f"(drain {d:.1f}, h2d {h2d[-1]:.1f} MB/s)", flush=True)
+
+        def med_iqr(xs):
+            import numpy as np
+
+            q1, q2, q3 = np.percentile(xs, [25, 50, 75])
+            return round(float(q2), 1), round(float(q3 - q1), 1)
+
+        stats = {n: med_iqr(fed[n]) for n in fed}
+        host_med = stats["host_aug"][0]
+        nat_med = stats["device_aug_native"][0]
+        out = {
+            "metric": "pipeline A/B device-aug+native speedup "
+                      f"(median of {k} interleaved trials)",
+            "value": nat_med,
             "unit": "images/sec",
-            "vs_baseline": round(nat_ips / max(host_ips, 1e-9), 3),
-            "host_aug_ips": round(host_ips, 2),
-            "device_aug_ips": round(dev_ips, 2),
-        }))
+            "vs_baseline": round(nat_med / max(host_med, 1e-9), 3),
+            "h2d_ceiling_mbps": med_iqr(h2d),
+        }
+        for n in fed:
+            out[f"{n}_med_iqr"] = stats[n]
+            out[f"{n}_drain_med_iqr"] = med_iqr(drain[n])
+        print(json.dumps(out))
     elif "--pipeline-native" in sys.argv:
         _with_retries(lambda: run_pipeline(device_aug=True, native=True))
     elif "--pipeline-devaug" in sys.argv:

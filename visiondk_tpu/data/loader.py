@@ -362,3 +362,86 @@ class NativeEvalLoader:
                 paths = paths + [paths[-1]] * (bs - valid)
             images, _ = self.decoder.decode_batch(paths)
             yield {"image": images, "keys": keys, "valid": np.asarray(valid, np.int32)}
+
+
+class DevicePrefetcher:
+    """Bounded-lookahead device feeder: overlap H2D with the train step.
+
+    The trainer's per-step loop (``host batch -> device_put -> step``) is
+    serialized by the transfer: at bs 128 / 224px a uint8 batch is ~19 MB, and
+    on hosts where H2D is the slow link (the tunneled dev chip moves ~27 MB/s;
+    even a real PCIe host pays ~2 ms) the step waits on the put. A background
+    thread runs ``put`` (the host→device transfer + any per-batch host RNG)
+    ``depth`` batches ahead, so the transfer of batch N+1 rides under the
+    device execution of batch N — the same double-buffering torch users get
+    from CUDA prefetch loops (reference relies on DataLoader pinned-memory +
+    per-step ``.cuda()``, engine/vision_engine.py:259-276).
+
+    ``put(i, host_batch)`` returns whatever the consumer wants per step (e.g.
+    a (device_batch, device_lam, rows) tuple). Exceptions in ``put`` or the
+    loader propagate to the consuming thread. ``depth`` bounds device-side
+    memory: at most ``depth`` put results exist beyond the one being consumed.
+
+    ``hold_first=True`` parks the feeder after producing item 0 until the
+    consumer calls :meth:`release` — the trainer releases after the first
+    step() of the epoch returns, i.e. after jit tracing + backend compilation.
+    The first step of an epoch is where minutes-long remote compiles happen,
+    and the dev-chip tunnel client is not trusted to take concurrent calls
+    during one (CLAUDE.md: a second concurrent client can wedge both sides);
+    the cost is one lookahead slot once per epoch.
+    """
+
+    def __init__(self, loader, put: Callable, depth: int = 2,
+                 hold_first: bool = False):
+        self.loader = loader
+        self.put = put
+        self.depth = max(int(depth), 1)
+        self.hold_first = hold_first
+        self._gate = threading.Event()
+        if not hold_first:
+            self._gate.set()
+
+    def release(self) -> None:
+        """Unpark the feeder (consumer calls this once the first step of the
+        epoch has returned from compile). Idempotent."""
+        self._gate.set()
+
+    def __iter__(self) -> Iterator[Any]:
+        if self.hold_first:
+            self._gate.clear()  # re-arm on re-iteration
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def feed() -> None:
+            try:
+                for i, b in enumerate(self.loader):
+                    q.put(self.put(i, b))
+                    if i == 0:
+                        self._gate.wait()
+            except BaseException as e:  # surfaced on the consumer thread
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=feed, name="device-prefetch", daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # consumer bailed early (exception in the step): unpark a gated
+            # feeder and unblock one parked on a full queue so the thread
+            # exits instead of leaking
+            self._gate.set()
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.1)
+        t.join()
+        if err:
+            raise err[0]

@@ -29,6 +29,7 @@ import numpy as np
 from visiondk_tpu.config.checks import normalize_accumulate
 from visiondk_tpu.config.loader import get_imgsz, yaml_dump
 from visiondk_tpu.data.dataprocessor import SmartDataProcessor
+from visiondk_tpu.data.loader import DevicePrefetcher
 from visiondk_tpu.engine import evaluation as cls_eval
 from visiondk_tpu.engine import face_eval, cbir_eval
 from visiondk_tpu.engine.checkpoint import CheckpointManager
@@ -117,6 +118,11 @@ class CenterProcessor:
         # ops/device_augment.make_device_augment)
         self.device_augment_group_size = self.data_cfg["train"].get(
             "device_augment_group_size", 8
+        )
+        # H2D lookahead (data/loader.py DevicePrefetcher): device_put of batch
+        # N+1 overlaps step N; bounds device-side staging to `depth` batches
+        self.device_prefetch_depth = int(
+            self.data_cfg["train"].get("device_prefetch", 2)
         )
         if train and self.data_processor.device_augment_cfg:
             from visiondk_tpu.ops.device_augment import (
@@ -493,20 +499,35 @@ class CenterProcessor:
             # float() would sync host↔device every step and stall the
             # dispatch pipeline.
             step_losses = []
-            for i, batch in enumerate(train_loader):
+
+            def _put(i, batch, _epoch=epoch, _mix=mixup_active):
                 # sequence seeding: collision-free for any (seed, epoch, step),
                 # unlike arithmetic mixing which collides past 10k steps/epoch
                 lam = (
-                    float(np.random.default_rng([self.seed, epoch, i]).beta(
+                    float(np.random.default_rng([self.seed, _epoch, i]).beta(
                         self.mixup_ratio, self.mixup_ratio
                     ))
-                    if mixup_active
+                    if _mix
                     else 0.0
                 )
-                dev_batch = self._shard_batch(batch)
-                state, metrics = step(state, dev_batch, jnp.float32(lam))
+                return (
+                    self._shard_batch(batch),
+                    jax.device_put(np.float32(lam), self.mesh.replicated),
+                    batch["image"].shape[0],
+                )
+
+            # hold_first: the feeder parks until the epoch's first step has
+            # returned from (a possibly minutes-long remote) compile — the
+            # tunneled dev backend is not trusted with concurrent calls
+            # during one (see DevicePrefetcher)
+            feed = DevicePrefetcher(
+                train_loader, _put, self.device_prefetch_depth, hold_first=True
+            )
+            for dev_batch, dev_lam, rows in feed:
+                state, metrics = step(state, dev_batch, dev_lam)
+                feed.release()
                 step_losses.append(metrics["loss"])
-                n_images += batch["image"].shape[0]
+                n_images += rows
             tloss = float(jnp.mean(jnp.stack(step_losses))) if step_losses else 0.0
             epoch_secs = time.time() - epoch_t0
 
@@ -626,6 +647,10 @@ class CenterProcessor:
         )
         loss_meter = AverageMeter()
         fitness_metrics: Dict[str, Any] = {}
+        zero_lam = jax.device_put(np.float32(0.0), self.mesh.replicated)
+
+        def _put(i, batch):
+            return self._shard_batch(batch), batch["image"].shape[0]
 
         for epoch in range(start_epoch, epochs):
             train_loader.set_epoch(epoch)
@@ -633,11 +658,14 @@ class CenterProcessor:
             epoch_t0 = time.time()
             n_images = 0
             pending = []  # device losses; fetched only at print_freq/epoch end
-            for i, batch in enumerate(train_loader):
-                dev_batch = self._shard_batch(batch)
-                state, metrics = step(state, dev_batch, jnp.float32(0.0))
-                pending.append((metrics["loss"], batch["image"].shape[0]))
-                n_images += batch["image"].shape[0]
+            feed = DevicePrefetcher(
+                train_loader, _put, self.device_prefetch_depth, hold_first=True
+            )
+            for i, (dev_batch, rows) in enumerate(feed):
+                state, metrics = step(state, dev_batch, zero_lam)
+                feed.release()
+                pending.append((metrics["loss"], rows))
+                n_images += rows
                 # print_freq cadence (reference train.py:235-242)
                 if primary and (i + 1) % print_freq == 0:
                     for dev_loss, n in pending:
