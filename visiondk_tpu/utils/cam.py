@@ -197,7 +197,13 @@ class ClassActivationMaper:
             raise ValueError(f"method {method!r} not in {CAM_METHODS}")
         self.model = model
         self.method = method
-        self.variables = variables
+        # One explicit upload; every jitted program below takes the tree as a
+        # runtime ARGUMENT. Closure-capturing host param trees embeds them as
+        # HLO constants — a ViT-B program then serializes >340 MB and the
+        # remote-compile tunnel rejects it (HTTP 413, seen on the first real
+        # production CAM run).
+        self.variables = jax.device_put(variables)
+        variables = self.variables
         # fullgrad aggregates over ALL bias layers; a single target is not used
         # (pytorch-grad-cam likewise ignores target_layers for FullGrad)
         self.target_path = (
@@ -208,10 +214,9 @@ class ClassActivationMaper:
         self._is_token_map = bool(re.search(r"norm1$", self.target_path))
 
         mdl = self.model
-        variables_ = self.variables
         target = self.target_path
 
-        def capture_fmap(x: Array) -> Array:
+        def capture_fmap(v, x: Array) -> Array:
             box: Dict[str, Array] = {}
 
             def interceptor(next_fun, args, kwargs, context):
@@ -224,10 +229,10 @@ class ClassActivationMaper:
                 return out
 
             with nn.intercept_methods(interceptor):
-                mdl.apply(variables_, x, train=False)
+                mdl.apply(v, x, train=False)
             return box["fmap"]
 
-        def forward_inject(fmap: Array, x: Array) -> Array:
+        def forward_inject(v, fmap: Array, x: Array) -> Array:
             def interceptor(next_fun, args, kwargs, context):
                 out = next_fun(*args, **kwargs)
                 if (
@@ -238,36 +243,36 @@ class ClassActivationMaper:
                 return out
 
             with nn.intercept_methods(interceptor):
-                return mdl.apply(variables_, x, train=False)
+                return mdl.apply(v, x, train=False)
 
-        def score_grad(fmap: Array, x: Array, class_idx: Array) -> Tuple[Array, Array]:
+        def score_grad(v, fmap: Array, x: Array, class_idx: Array) -> Tuple[Array, Array]:
             def score(a):
-                logits = forward_inject(a, x)
+                logits = forward_inject(v, a, x)
                 return jnp.take_along_axis(logits, class_idx[:, None], axis=1).sum()
 
             g = jax.grad(score)(fmap)
             return g
 
-        def scores_inject(fmaps: Array, x: Array, class_idx: Array) -> Array:
+        def scores_inject(v, fmaps: Array, x: Array, class_idx: Array) -> Array:
             """Batched class scores for K injected feature-map variants
             (ablationcam / scorecam's perturbation sweep)."""
 
             def one(fmap):
-                logits = forward_inject(fmap[None], x)
+                logits = forward_inject(v, fmap[None], x)
                 return jnp.take_along_axis(logits, class_idx[:, None], axis=1)[0, 0]
 
             return jax.lax.map(one, fmaps)
 
         self._capture = jax.jit(capture_fmap)
         self._grad = jax.jit(score_grad)
-        self._logits = jax.jit(lambda x: mdl.apply(variables_, x, train=False))
+        self._logits = jax.jit(lambda v, x: mdl.apply(v, x, train=False))
         self._scores_inject = jax.jit(scores_inject)
 
         if method == "fullgrad":
-            self._bias_layers = discover_bias_layers(mdl, variables_, example)
+            self._bias_layers = discover_bias_layers(mdl, variables, example)
             bias_shapes = {p: s for p, (s, _) in self._bias_layers.items()}
 
-            def fullgrad_grads(x: Array, class_idx: Array):
+            def fullgrad_grads(v, x: Array, class_idx: Array):
                 """d(score)/d(input) and d(score)/d(each bias-layer output),
                 all in ONE backward: every target output gets a differentiated
                 zero added, so jax.grad w.r.t. the zeros dict is the full set
@@ -286,7 +291,7 @@ class ClassActivationMaper:
                         return out
 
                     with nn.intercept_methods(interceptor):
-                        logits = mdl.apply(variables_, x_in, train=False)
+                        logits = mdl.apply(v, x_in, train=False)
                     return jnp.take_along_axis(logits, class_idx[:, None], axis=1).sum()
 
                 eps0 = {p: jnp.zeros(s, jnp.float32) for p, s in bias_shapes.items()}
@@ -341,7 +346,7 @@ class ClassActivationMaper:
         """w_k = (y_c − y_c^{ablate k}) / y_c (AblationCAM)."""
         idx = jnp.asarray([class_idx], jnp.int32)
         c = fmap.shape[-1]
-        base = float(np.asarray(self._scores_inject(fmap[None, 0], x, idx))[0])
+        base = float(np.asarray(self._scores_inject(self.variables, fmap[None, 0], x, idx))[0])
         weights = np.zeros((c,), np.float32)
         chan = jnp.arange(c)
         for s in range(0, c, _PERTURB_CHUNK):
@@ -353,7 +358,7 @@ class ClassActivationMaper:
             variants = fmap[0][None] * keep.reshape(
                 (_PERTURB_CHUNK,) + (1,) * (fmap.ndim - 2) + (c,)
             )
-            scores = np.asarray(self._scores_inject(variants, x, idx))
+            scores = np.asarray(self._scores_inject(self.variables, variants, x, idx))
             weights[s : s + k] = (base - scores[:k]) / (abs(base) + 1e-8)
         return weights
 
@@ -377,7 +382,7 @@ class ClassActivationMaper:
             if k < _PERTURB_CHUNK:
                 masks = jnp.pad(masks, ((0, _PERTURB_CHUNK - k), (0, 0), (0, 0)))
             masked = x[0][None] * masks[..., None]
-            logits = np.asarray(self._logits(masked))
+            logits = np.asarray(self._logits(self.variables, masked))
             scores[s : s + k] = logits[:k, idx]
         e = np.exp(scores - scores.max())
         return (e / e.sum()).astype(np.float32)
@@ -398,10 +403,10 @@ class ClassActivationMaper:
         """
         x = jnp.asarray(input_tensor)
         if class_idx is None:
-            class_idx = int(np.argmax(np.asarray(self._logits(x))[0]))
+            class_idx = int(np.argmax(np.asarray(self._logits(self.variables, x))[0]))
 
         if self.method == "fullgrad":
-            gx, geps = self._fullgrad(x, jnp.asarray([class_idx], jnp.int32))
+            gx, geps = self._fullgrad(self.variables, x, jnp.asarray([class_idx], jnp.int32))
             h_in, w_in = x.shape[1], x.shape[2]
 
             def term(m: np.ndarray) -> np.ndarray:
@@ -422,7 +427,7 @@ class ClassActivationMaper:
                 cam = cam + term(g * bias)
             return self._finish(image, cam)
 
-        fmap = self._capture(x)
+        fmap = self._capture(self.variables, x)
 
         if self.method in _PERTURB_METHODS:
             fmap_np = np.asarray(fmap, np.float32)[0]
@@ -437,7 +442,7 @@ class ClassActivationMaper:
         if self.method in ("eigencam",):
             grad = None
         else:
-            grad = self._grad(fmap, x, jnp.asarray([class_idx], jnp.int32))
+            grad = self._grad(self.variables, fmap, x, jnp.asarray([class_idx], jnp.int32))
             grad = np.asarray(grad, np.float32)[0]
         fmap = np.asarray(fmap, np.float32)[0]
 
