@@ -186,6 +186,15 @@ def _bf16_dots() -> bool:
 _LOG2E = 1.4426950408889634
 
 
+def _sw_pipeline() -> bool:
+    """Software-pipeline the fwd per-head loop: issue head h+1's score dot
+    (MXU) before head h's softmax sweeps (VPU) so the two units can overlap.
+    Round-5 experiment (VERDICT item 8); A/B with VDK_ATTN_PIPE=0/1."""
+    import os
+
+    return os.environ.get("VDK_ATTN_PIPE", "0") == "1"
+
+
 def _fused_fwd_kernel(
     qkv_ref, o_ref, p_ref=None, *, heads: int, head_dim: int, n_valid: int, scale: float,
     n_array: Optional[int] = None,
@@ -216,18 +225,31 @@ def _fused_fwd_kernel(
         # crashes Mosaic's layout pass at sublane-granular N)
         col = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], n, n), 2)
         kmask = col < n_valid
-    for h in range(heads):
+
+    def score(h):
         q = x[:, :, h * head_dim : (h + 1) * head_dim].astype(jnp.float32)
         k = x[:, :, c + h * head_dim : c + (h + 1) * head_dim].astype(op_t)
-        v = x[:, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim]
         q = (q * (scale * _LOG2E)).astype(op_t)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # log2-domain scores
         if n_valid < n:
             s = jnp.where(kmask, s, _NEG_INF)
+        return s
+
+    pipe = _sw_pipeline()
+    s = score(0) if pipe else None
+    for h in range(heads):
+        if not pipe:
+            s = score(h)
+        v = x[:, :, 2 * c + h * head_dim : 2 * c + (h + 1) * head_dim]
         m = jnp.max(s, axis=2, keepdims=True)
         e = jnp.exp2(s - m)
+        if pipe and h + 1 < heads:
+            # issue the NEXT head's score dot between this head's VPU sweeps:
+            # the MXU matmul has no dependence on e/p, so the in-order
+            # scheduler can run it under the exp2/sum/recip sweeps
+            s = score(h + 1)
         p = (e * (1.0 / jnp.sum(e, axis=2, keepdims=True))).astype(v.dtype)
         if p_ref is not None:
             # stash probabilities for the backward pass (skips the whole
