@@ -341,7 +341,7 @@ def pipeline_setup(batch=128, steps=20, warmup=2, workers=8, device_aug=False,
         state, step = state_box[0]
         lam = jnp.float32(0.0)
         n = 0
-        t_start = None
+        t_start = time.perf_counter()  # warmup=0: timed from the first step
         for i, b in enumerate(batches(steps + warmup)):
             dev = jax.device_put(
                 {"image": jnp.asarray(b["image"]), "label": jnp.asarray(b["label"])}

@@ -34,9 +34,10 @@ def test_lookahead_is_bounded():
     first = next(it)
     assert first == 0
     # give the feeder time to run as far ahead as it can while the consumer
-    # holds: it may complete at most depth queued puts + 1 blocked put
+    # holds: the slot semaphore admits at most ``depth`` put results beyond
+    # the one already consumed (a put is only STARTED once a slot is held)
     time.sleep(0.3)
-    assert len(put_started) <= 1 + depth + 1
+    assert len(put_started) <= 1 + depth
     assert list(it) == list(range(1, 20))
     assert put_started == list(range(20))
 
@@ -72,6 +73,25 @@ def test_consumer_early_exit_joins_feeder():
     while threading.active_count() > n_alive_before and time.time() < deadline:
         time.sleep(0.01)
     assert threading.active_count() <= n_alive_before
+
+
+def test_consumer_early_exit_stops_feeding():
+    """Early exit must CANCEL remaining work, not drain it: a step exception
+    at batch 2 of a long epoch must not decode+transfer the rest of the
+    epoch inside exception unwind."""
+    puts = []
+
+    def put(i, b):
+        puts.append(i)
+        time.sleep(0.005)
+        return b
+
+    it = iter(DevicePrefetcher(range(500), put, depth=2))
+    next(it)
+    next(it)
+    it.close()
+    time.sleep(0.3)  # a draining feeder would rack up dozens more puts
+    assert len(puts) <= 2 + 2 + 1  # consumed + staged + one in-flight
 
 
 def test_partial_iteration_then_reuse():

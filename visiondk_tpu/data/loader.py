@@ -409,16 +409,28 @@ class DevicePrefetcher:
     def __iter__(self) -> Iterator[Any]:
         if self.hold_first:
             self._gate.clear()  # re-arm on re-iteration
-        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        q: "queue.Queue" = queue.Queue()
+        # ``slots`` (not the queue) bounds staging: a token is taken BEFORE
+        # ``put`` runs and returned when the consumer takes the result, so at
+        # most ``depth`` put results exist beyond the one being consumed —
+        # a queue of maxsize depth would let the feeder hold one more,
+        # blocked in q.put with its result already computed
+        slots = threading.Semaphore(self.depth)
         sentinel = object()
         err: List[BaseException] = []
+        stop = threading.Event()
 
         def feed() -> None:
             try:
                 for i, b in enumerate(self.loader):
+                    slots.acquire()
+                    if stop.is_set():  # consumer bailed: skip remaining work
+                        return
                     q.put(self.put(i, b))
                     if i == 0:
                         self._gate.wait()
+                        if stop.is_set():
+                            return
             except BaseException as e:  # surfaced on the consumer thread
                 err.append(e)
             finally:
@@ -431,12 +443,15 @@ class DevicePrefetcher:
                 item = q.get()
                 if item is sentinel:
                     break
+                slots.release()
                 yield item
         finally:
-            # consumer bailed early (exception in the step): unpark a gated
-            # feeder and unblock one parked on a full queue so the thread
-            # exits instead of leaking
+            # consumer bailed early (exception in the step): flag the feeder
+            # to stop — it finishes at most the one put already in flight —
+            # and unblock it whether parked on the gate or on a slot
+            stop.set()
             self._gate.set()
+            slots.release()
             while t.is_alive():
                 try:
                     q.get_nowait()

@@ -558,24 +558,17 @@ def _c_random_gaussianblur(
     return _gate(gate_p, body)
 
 
-def _c_random_rotate(degrees=10.0, expand: bool = False) -> SampleFn:
-    if expand:
-        raise _NotLiftable("random_rotate(expand=True) changes the output shape")
-    lo, hi = (
-        (-float(degrees), float(degrees))
-        if isinstance(degrees, (int, float))
-        else (float(degrees[0]), float(degrees[1]))
-    )
-
-    def fn(key, img):
-        angle = jax.random.uniform(key, minval=lo, maxval=hi)
-        return rotate(img, angle)
-
-    return fn
+def _rotate_range(degrees) -> Tuple[float, float]:
+    """Normalize the YAML ``degrees`` (scalar => symmetric range) — shared by
+    the per-sample and group rotate compilers so they cannot diverge."""
+    if isinstance(degrees, (int, float)):
+        return (-float(degrees), float(degrees))
+    return (float(degrees[0]), float(degrees[1]))
 
 
-def _c_random_affine(degrees=0.0, translate=0.0, scale=0.0, shear=0.0, fill=0,
-                     center=None) -> SampleFn:
+def _affine_spec(degrees, translate, scale, shear, fill, center):
+    """Normalize random_affine's params (torchvision conventions) once —
+    shared by the per-sample and group affine compilers."""
     deg = (
         (-float(degrees), float(degrees))
         if isinstance(degrees, (int, float))
@@ -591,29 +584,55 @@ def _c_random_affine(degrees=0.0, translate=0.0, scale=0.0, shear=0.0, fill=0,
         sh = tuple(float(s) for s in shear)
     fill_v = float(fill if isinstance(fill, (int, float)) else fill[0])
     ctr = tuple(center) if center is not None else None
+    return deg, trans, sc, sh, fill_v, ctr
+
+
+def _draw_affine_matrix(key, h, w, deg, trans, sc, sh, ctr):
+    """One random_affine parameter draw -> inverse matrix (same stream split
+    in both the per-sample and group compilers)."""
+    ka, kt, ks, ksh = jax.random.split(key, 4)
+    angle = jax.random.uniform(ka, minval=deg[0], maxval=deg[1])
+    if trans is not None:
+        kx, ky = jax.random.split(kt)
+        dx = jnp.floor(
+            jax.random.uniform(kx, minval=-trans[0] * w, maxval=trans[0] * w) + 0.5
+        )
+        dy = jnp.floor(
+            jax.random.uniform(ky, minval=-trans[1] * h, maxval=trans[1] * h) + 0.5
+        )
+    else:
+        dx = dy = jnp.float32(0.0)
+    scl = (
+        jax.random.uniform(ks, minval=sc[0], maxval=sc[1]) if sc is not None
+        else jnp.float32(1.0)
+    )
+    k1, k2 = jax.random.split(ksh)
+    shx = jax.random.uniform(k1, minval=sh[0], maxval=sh[1])
+    shy = jax.random.uniform(k2, minval=sh[2], maxval=sh[3])
+    return inverse_affine_matrix((h, w), angle, (dx, dy), scl, (shx, shy), ctr)
+
+
+def _c_random_rotate(degrees=10.0, expand: bool = False) -> SampleFn:
+    if expand:
+        raise _NotLiftable("random_rotate(expand=True) changes the output shape")
+    lo, hi = _rotate_range(degrees)
+
+    def fn(key, img):
+        angle = jax.random.uniform(key, minval=lo, maxval=hi)
+        return rotate(img, angle)
+
+    return fn
+
+
+def _c_random_affine(degrees=0.0, translate=0.0, scale=0.0, shear=0.0, fill=0,
+                     center=None) -> SampleFn:
+    deg, trans, sc, sh, fill_v, ctr = _affine_spec(
+        degrees, translate, scale, shear, fill, center
+    )
 
     def fn(key, img):
         h, w = img.shape[:2]
-        ka, kt, ks, ksh = jax.random.split(key, 4)
-        angle = jax.random.uniform(ka, minval=deg[0], maxval=deg[1])
-        if trans is not None:
-            kx, ky = jax.random.split(kt)
-            dx = jnp.floor(
-                jax.random.uniform(kx, minval=-trans[0] * w, maxval=trans[0] * w) + 0.5
-            )
-            dy = jnp.floor(
-                jax.random.uniform(ky, minval=-trans[1] * h, maxval=trans[1] * h) + 0.5
-            )
-        else:
-            dx = dy = jnp.float32(0.0)
-        scl = (
-            jax.random.uniform(ks, minval=sc[0], maxval=sc[1]) if sc is not None
-            else jnp.float32(1.0)
-        )
-        k1, k2 = jax.random.split(ksh)
-        shx = jax.random.uniform(k1, minval=sh[0], maxval=sh[1])
-        shy = jax.random.uniform(k2, minval=sh[2], maxval=sh[3])
-        m = inverse_affine_matrix((h, w), angle, (dx, dy), scl, (shx, shy), ctr)
+        m = _draw_affine_matrix(key, h, w, deg, trans, sc, sh, ctr)
         return affine_transform(img, m, "bilinear", fill_v)
 
     return fn
@@ -896,14 +915,11 @@ def _compile_group(name: str, params: Any) -> GroupFn:
             return jax.lax.switch(idx, inner, kf, imgs)
 
         return choice_fn
-    if name == "random_augmix":
-        return _c_group_augmix(**(params if isinstance(params, dict) else {}))
-    if name == "random_augment":
-        return _c_group_randaugment(**(params if isinstance(params, dict) else {}))
-    if name == "random_rotate":
-        return _c_group_rotate(**(params if isinstance(params, dict) else {}))
-    if name == "random_affine":
-        return _c_group_affine(**(params if isinstance(params, dict) else {}))
+    group_fn = _GROUP_COMPILERS.get(name)
+    if group_fn is not None:
+        # same params dispatch as _compile_one: a scalar/list YAML spelling
+        # (e.g. ``random_rotate: 15``) must not silently fall to defaults
+        return _call_compiler(group_fn, params)
     return _vmap_group(_compile_one(name, params))
 
 
@@ -912,11 +928,7 @@ def _c_group_rotate(degrees=10.0, expand: bool = False) -> GroupFn:
     (per-sample angles force per-pixel 2D gathers: 250 ms/bs-128 measured)."""
     if expand:
         raise _NotLiftable("random_rotate(expand=True) changes the output shape")
-    lo, hi = (
-        (-float(degrees), float(degrees))
-        if isinstance(degrees, (int, float))
-        else (float(degrees[0]), float(degrees[1]))
-    )
+    lo, hi = _rotate_range(degrees)
 
     def fn(key: Array, imgs: Array) -> Array:
         angle = jax.random.uniform(key, minval=lo, maxval=hi)
@@ -928,44 +940,13 @@ def _c_group_rotate(degrees=10.0, expand: bool = False) -> GroupFn:
 def _c_group_affine(degrees=0.0, translate=0.0, scale=0.0, shear=0.0, fill=0,
                     center=None) -> GroupFn:
     """random_affine with per-GROUP parameter draws (same reason as rotate)."""
-    deg = (
-        (-float(degrees), float(degrees))
-        if isinstance(degrees, (int, float))
-        else tuple(float(d) for d in degrees)
+    deg, trans, sc, sh, fill_v, ctr = _affine_spec(
+        degrees, translate, scale, shear, fill, center
     )
-    trans = tuple(translate) if isinstance(translate, (list, tuple)) else None
-    sc = tuple(scale) if isinstance(scale, (list, tuple)) else None
-    if isinstance(shear, (int, float)):
-        sh = (-float(shear), float(shear), 0.0, 0.0) if shear else (0.0, 0.0, 0.0, 0.0)
-    elif len(shear) == 2:
-        sh = (float(shear[0]), float(shear[1]), 0.0, 0.0)
-    else:
-        sh = tuple(float(s) for s in shear)
-    fill_v = float(fill if isinstance(fill, (int, float)) else fill[0])
-    ctr = tuple(center) if center is not None else None
 
     def fn(key: Array, imgs: Array) -> Array:
         h, w = imgs.shape[1:3]
-        ka, kt, ks, ksh = jax.random.split(key, 4)
-        angle = jax.random.uniform(ka, minval=deg[0], maxval=deg[1])
-        if trans is not None:
-            kx, ky = jax.random.split(kt)
-            dx = jnp.floor(
-                jax.random.uniform(kx, minval=-trans[0] * w, maxval=trans[0] * w) + 0.5
-            )
-            dy = jnp.floor(
-                jax.random.uniform(ky, minval=-trans[1] * h, maxval=trans[1] * h) + 0.5
-            )
-        else:
-            dx = dy = jnp.float32(0.0)
-        scl = (
-            jax.random.uniform(ks, minval=sc[0], maxval=sc[1]) if sc is not None
-            else jnp.float32(1.0)
-        )
-        k1, k2 = jax.random.split(ksh)
-        shx = jax.random.uniform(k1, minval=sh[0], maxval=sh[1])
-        shy = jax.random.uniform(k2, minval=sh[2], maxval=sh[3])
-        m = inverse_affine_matrix((h, w), angle, (dx, dy), scl, (shx, shy), ctr)
+        m = _draw_affine_matrix(key, h, w, deg, trans, sc, sh, ctr)
         return affine_transform_group(imgs, m, "bilinear", fill_v)
 
     return fn
@@ -1114,6 +1095,29 @@ def _c_group_randaugment(
     return fn
 
 
+# ops whose GROUP form differs from vmap(sample form): group-level branch /
+# parameter draws (see _compile_group's docstring)
+_GROUP_COMPILERS: Dict[str, Callable[..., GroupFn]] = {
+    "random_augmix": _c_group_augmix,
+    "random_augment": _c_group_randaugment,
+    "random_rotate": _c_group_rotate,
+    "random_affine": _c_group_affine,
+}
+
+
+def _call_compiler(fn: Callable, params: Any):
+    """YAML params -> compiler call, one dispatch for both the per-sample and
+    group registries (``name: no_params``, ``name: {k: v}``, ``name: [a, b]``,
+    ``name: scalar`` all mean what they say in either mode)."""
+    if params in (None, "no_params"):
+        return fn()
+    if isinstance(params, dict):
+        return fn(**params)
+    if isinstance(params, (list, tuple)):
+        return fn(*params)
+    return fn(params)
+
+
 def _compile_one(name: str, params: Any) -> SampleFn:
     if name == "random_choice":
         inner = [
@@ -1133,13 +1137,7 @@ def _compile_one(name: str, params: Any) -> SampleFn:
     fn = _COMPILERS.get(name)
     if fn is None:
         raise _NotLiftable(f"{name} has no device implementation")
-    if params in (None, "no_params"):
-        return fn()
-    if isinstance(params, dict):
-        return fn(**params)
-    if isinstance(params, (list, tuple)):
-        return fn(*params)
-    return fn(params)
+    return _call_compiler(fn, params)
 
 
 # =============================================================== pipeline split
@@ -1165,7 +1163,11 @@ def is_liftable(item) -> bool:
     if name not in _COMPILERS:
         return False
     try:
+        # validate BOTH compilers: the trainer may build either the vmapped
+        # per-sample form or the group form (make_device_augment group_size),
+        # and an op lifted here must compile in whichever mode runs
         _compile_one(name, _item_params(item))
+        _compile_group(name, _item_params(item))
         return True
     except _NotLiftable:
         return False
@@ -1337,10 +1339,12 @@ def set_device_pipeline_size(device_cfg: List[Any], size: int) -> bool:
             elif name == "random_crop":
                 params = _item_params(item)
                 if isinstance(params, dict):
-                    params["size"] = size
+                    if params.get("size") != size:
+                        params["size"] = size
+                        changed = True
                 else:
                     items[i] = {"random_crop": {"size": size}}
-                changed = True
+                    changed = True
 
     _walk(device_cfg or [])
     return changed
